@@ -1,0 +1,230 @@
+"""Decoder-only LLM core: Llama-3/3.1 and Mistral families.
+
+Behavioral spec: the reference's patched ParallelTransformer decoder
+(megatron_patch/model/llava/transformer.py:518-1878 — GQA :536-573, SwiGLU
+:136, rotary w/ explicit position ids :781,846) and the Mistral variant with
+sliding window (megatron_patch/model/idefics2/transformer.py; window arg
+idefics_vlm_model.py:388). TPU-first design decisions:
+
+  - pure-functional: params are a pytree of full (unsharded) logical arrays;
+    tensor/sequence parallelism is applied from the outside by sharding rules
+    (leopard_tpu/parallel/sharding.py) — no parallel module classes.
+  - all layers' weights are stacked on a leading layer axis and the block runs
+    under `jax.lax.scan`, so XLA compiles one layer body regardless of depth.
+  - KV cache is carried explicitly (functional) for autoregressive decode.
+  - matmuls run in the param dtype (bf16 on TPU) with fp32 softmax/norm/logits.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from leopard_tpu.config import TextConfig
+from leopard_tpu.ops.attention import attention, make_attention_mask
+from leopard_tpu.ops.norms import rms_norm
+from leopard_tpu.ops.rotary import apply_rope, compute_inv_freq, rope_cos_sin
+
+
+def _dtype(cfg: TextConfig):
+    return jnp.dtype(cfg.dtype)
+
+
+def init_params(cfg: TextConfig, key: jax.Array) -> dict:
+    """Random-init a full decoder param tree (layer-stacked)."""
+    k = iter(jax.random.split(key, 16))
+    h, f, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    qd, kvd = cfg.num_heads * cfg.head_dim, cfg.num_kv_heads * cfg.head_dim
+    dt = _dtype(cfg)
+
+    def dense(key, shape, fan_in):
+        return (jax.random.normal(key, shape, jnp.float32) * fan_in**-0.5).astype(dt)
+
+    params = {
+        "embed_tokens": dense(next(k), (cfg.vocab_size, h), h),
+        "layers": {
+            "input_norm": jnp.ones((L, h), dt),
+            "attn": {
+                "wq": dense(next(k), (L, h, qd), h),
+                "wk": dense(next(k), (L, h, kvd), h),
+                "wv": dense(next(k), (L, h, kvd), h),
+                "wo": dense(next(k), (L, qd, h), qd),
+            },
+            "post_attn_norm": jnp.ones((L, h), dt),
+            "mlp": {
+                "w_gate": dense(next(k), (L, h, f), h),
+                "w_up": dense(next(k), (L, h, f), h),
+                "w_down": dense(next(k), (L, f, h), f),
+            },
+        },
+        "final_norm": jnp.ones((h,), dt),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = dense(next(k), (h, cfg.vocab_size), h)
+    return params
+
+
+@dataclass
+class KVCache:
+    """Functional KV cache.
+
+    k/v: [L, B, S_max, H_kv, D]; seg: [B, S_max] segment id per cached
+    position (0 = invalid/padding — never attended); index: positions written
+    so far (decode is lockstep; ragged prompts are left-padded by the engine).
+    """
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    seg: jnp.ndarray
+    index: jnp.ndarray  # scalar int32
+
+    @staticmethod
+    def create(cfg: TextConfig, batch: int, max_len: int, dtype=None) -> "KVCache":
+        dt = dtype or _dtype(cfg)
+        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        return KVCache(
+            k=jnp.zeros(shape, dt),
+            v=jnp.zeros(shape, dt),
+            seg=jnp.zeros((batch, max_len), jnp.int32),
+            index=jnp.zeros((), jnp.int32),
+        )
+
+
+jax.tree_util.register_dataclass(
+    KVCache, data_fields=["k", "v", "seg", "index"], meta_fields=[]
+)
+
+
+def _layer(
+    x: jnp.ndarray,                  # [B, S, H]
+    layer_params: dict,              # single layer (unstacked)
+    cfg: TextConfig,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
+    cache_index: Optional[jnp.ndarray],
+):
+    b, s, h = x.shape
+    p_attn, p_mlp = layer_params["attn"], layer_params["mlp"]
+
+    res = x
+    y = rms_norm(x, layer_params["input_norm"], cfg.rms_norm_eps)
+    q = (y @ p_attn["wq"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
+    kk = (y @ p_attn["wk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    vv = (y @ p_attn["wv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    q = apply_rope(q, cos, sin)
+    kk = apply_rope(kk, cos, sin)
+
+    new_kv = None
+    if cache_kv is not None:
+        ck, cv = cache_kv
+        ck = jax.lax.dynamic_update_slice(ck, kk.astype(ck.dtype), (0, cache_index, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, vv.astype(cv.dtype), (0, cache_index, 0, 0))
+        kk, vv = ck, cv
+        new_kv = (ck, cv)
+
+    o = attention(q, kk, vv, mask=mask)
+    o = o.reshape(b, s, -1) @ p_attn["wo"]
+    x = res + o
+
+    res = x
+    y = rms_norm(x, layer_params["post_attn_norm"], cfg.rms_norm_eps)
+    gated = jax.nn.silu(y @ p_mlp["w_gate"]) * (y @ p_mlp["w_up"])
+    x = res + gated @ p_mlp["w_down"]
+    return x, new_kv
+
+
+def forward(
+    params: dict,
+    cfg: TextConfig,
+    tokens: Optional[jnp.ndarray] = None,        # [B, S] int32
+    *,
+    input_embeds: Optional[jnp.ndarray] = None,  # [B, S, H] overrides tokens
+    positions: Optional[jnp.ndarray] = None,     # [B, S] int32
+    segment_ids: Optional[jnp.ndarray] = None,   # [B, S]; 0 = padding
+    cache: Optional[KVCache] = None,
+    return_hidden: bool = False,
+) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+    """Returns (logits [B, S, V] fp32, updated cache or None)."""
+    if input_embeds is None:
+        input_embeds = jnp.take(params["embed_tokens"], tokens, axis=0)
+    x = input_embeds
+    b, s, _ = x.shape
+
+    if positions is None:
+        base = cache.index if cache is not None else 0
+        positions = base + jnp.arange(s, dtype=jnp.int32)[None, :]
+        positions = jnp.broadcast_to(positions, (b, s))
+
+    inv_freq = jnp.asarray(compute_inv_freq(cfg))
+    cos, sin = rope_cos_sin(positions, inv_freq)
+
+    new_seg = None
+    if cache is not None:
+        kv_len = cache.k.shape[2]
+        if segment_ids is None:
+            segment_ids = jnp.ones((b, s), jnp.int32)
+        new_seg = jax.lax.dynamic_update_slice(
+            cache.seg, segment_ids.astype(jnp.int32), (0, cache.index)
+        )
+        kv_pos = jnp.arange(kv_len, dtype=jnp.int32)[None, :]
+        kv_valid = new_seg != 0  # [B, S_max]
+        # cached positions index..index+s hold the rows written this call;
+        # their true position is `positions` of the writing token.
+        cache_positions = jax.lax.dynamic_update_slice(
+            jnp.broadcast_to(kv_pos, (b, kv_len)).astype(jnp.int32),
+            positions.astype(jnp.int32),
+            (0, cache.index),
+        )
+        causal = positions[:, :, None] >= cache_positions[:, None, :]
+        mask = (causal & kv_valid[:, None, :])[:, None]
+        if cfg.sliding_window is not None:
+            window = (
+                positions[:, :, None] - cache_positions[:, None, :]
+            ) < cfg.sliding_window
+            mask = mask & window[:, None]
+        mask = mask & (segment_ids != 0)[:, None, :, None]
+    else:
+        mask = make_attention_mask(
+            s, s,
+            causal=True,
+            q_segment_ids=segment_ids,
+            kv_segment_ids=segment_ids,
+            sliding_window=cfg.sliding_window,
+        )
+
+    stacked = params["layers"]
+
+    if cache is not None:
+        def body(carry, per_layer):
+            xs, = carry
+            lp, ck, cv = per_layer
+            xs, new_kv = _layer(xs, lp, cfg, cos, sin, mask, (ck, cv), cache.index)
+            return (xs,), new_kv
+
+        (x,), new_kvs = jax.lax.scan(body, (x,), (stacked, cache.k, cache.v))
+        new_cache = KVCache(
+            k=new_kvs[0], v=new_kvs[1], seg=new_seg, index=cache.index + s
+        )
+    else:
+        def body(carry, lp):
+            xs, = carry
+            xs, _ = _layer(xs, lp, cfg, cos, sin, mask, None, None)
+            return (xs,), None
+
+        (x,), _ = jax.lax.scan(body, (x,), stacked)
+        new_cache = None
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    if return_hidden:
+        return x, new_cache
+    if cfg.tie_word_embeddings:
+        logits = x.astype(jnp.float32) @ params["embed_tokens"].T.astype(jnp.float32)
+    else:
+        logits = x.astype(jnp.float32) @ params["lm_head"].astype(jnp.float32)
+    return logits, new_cache

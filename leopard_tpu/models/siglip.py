@@ -1,0 +1,154 @@
+"""SigLIP-SO400M / Idefics2-NaViT vision transformer encoder.
+
+Behavioral spec: the reference's shared ViT tower
+(megatron_patch/model/idefics2/idefics_vision_tower.py:17-180) configured from
+HF SiglipConfig (megatron_patch/model/llava/clip_encoder.py:318-342):
+27 pre-LN layers, GELU-tanh MLP, qkv bias, LayerNorm, post-LN at the output,
+and NaViT-style aspect-ratio-preserving bucketized 2-D position ids computed
+from the per-image patch validity mask (idefics_vision_tower.py:129-150).
+
+Functional pytree params, layer-stacked + lax.scan like the decoder. The
+patchify conv is expressed as an unfold-matmul so it lowers onto the MXU as a
+single large GEMM over all tiles (the per-tile grid is static: 26×26 at 364px).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from leopard_tpu.config import VisionConfig
+from leopard_tpu.ops.attention import attention
+from leopard_tpu.ops.norms import layer_norm
+
+
+def _dtype(cfg: VisionConfig):
+    return jnp.dtype(cfg.dtype)
+
+
+def init_params(cfg: VisionConfig, key: jax.Array) -> dict:
+    k = iter(jax.random.split(key, 24))
+    h, f, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    p = cfg.patch_size
+    dt = _dtype(cfg)
+
+    def dense(key, shape, fan_in):
+        return (jax.random.normal(key, shape, jnp.float32) * fan_in**-0.5).astype(dt)
+
+    n_pos = cfg.patches_per_side**2
+    return {
+        # [patch_size*patch_size*3, hidden]: unfolded patch → embedding GEMM
+        "patch_embed": {
+            "kernel": dense(next(k), (p * p * cfg.num_channels, h), p * p * 3),
+            "bias": jnp.zeros((h,), dt),
+        },
+        "pos_embed": dense(next(k), (n_pos, h), h),
+        "layers": {
+            "ln1": {"scale": jnp.ones((L, h), dt), "bias": jnp.zeros((L, h), dt)},
+            "attn": {
+                "wq": dense(next(k), (L, h, h), h),
+                "bq": jnp.zeros((L, h), dt),
+                "wk": dense(next(k), (L, h, h), h),
+                "bk": jnp.zeros((L, h), dt),
+                "wv": dense(next(k), (L, h, h), h),
+                "bv": jnp.zeros((L, h), dt),
+                "wo": dense(next(k), (L, h, h), h),
+                "bo": jnp.zeros((L, h), dt),
+            },
+            "ln2": {"scale": jnp.ones((L, h), dt), "bias": jnp.zeros((L, h), dt)},
+            "mlp": {
+                "fc1": dense(next(k), (L, h, f), h),
+                "b1": jnp.zeros((L, f), dt),
+                "fc2": dense(next(k), (L, f, h), f),
+                "b2": jnp.zeros((L, h), dt),
+            },
+        },
+        "post_ln": {"scale": jnp.ones((h,), dt), "bias": jnp.zeros((h,), dt)},
+    }
+
+
+def patchify(pixel_values: jnp.ndarray, patch_size: int) -> jnp.ndarray:
+    """[B, 3, H, W] → [B, (H/p)*(W/p), p*p*3] row-major patches.
+
+    Unfold layout matches a Conv2d(kernel=p, stride=p) when the conv weight
+    [out, in, kh, kw] is flattened as in-major: feature index = (c*p + kh)*p + kw.
+    """
+    b, c, hh, ww = pixel_values.shape
+    p = patch_size
+    x = pixel_values.reshape(b, c, hh // p, p, ww // p, p)
+    # → [B, H/p, W/p, C, p, p]
+    x = x.transpose(0, 2, 4, 1, 3, 5)
+    return x.reshape(b, (hh // p) * (ww // p), c * p * p)
+
+
+def navit_position_ids(
+    patch_mask: jnp.ndarray,  # [B, nph, npw] bool — True = real patch
+    patches_per_side: int,
+) -> jnp.ndarray:
+    """Bucketized 2-D position ids (idefics_vision_tower.py:129-150).
+
+    Each image's real patch grid (top-left rectangle of the mask) is mapped
+    onto the full patches_per_side² learned position table by fractional
+    coordinate bucketing, preserving aspect ratio. Invalid patches get id 0
+    (they are masked out of attention anyway).
+    """
+    b, nph, npw = patch_mask.shape
+    n = patches_per_side
+    boundaries = jnp.arange(1, n, dtype=jnp.float32) / n  # 1/n .. (n-1)/n
+    nb_h = jnp.sum(patch_mask[:, :, 0].astype(jnp.int32), axis=1)  # [B]
+    nb_w = jnp.sum(patch_mask[:, 0, :].astype(jnp.int32), axis=1)  # [B]
+    rows = jnp.arange(nph, dtype=jnp.float32)[None, :]  # [1, nph]
+    cols = jnp.arange(npw, dtype=jnp.float32)[None, :]
+    frac_h = rows / jnp.maximum(nb_h, 1)[:, None]
+    frac_w = cols / jnp.maximum(nb_w, 1)[:, None]
+    bucket_h = jnp.searchsorted(boundaries, frac_h, side="right").astype(jnp.int32)
+    bucket_w = jnp.searchsorted(boundaries, frac_w, side="right").astype(jnp.int32)
+    ids = bucket_h[:, :, None] * n + bucket_w[:, None, :]  # [B, nph, npw]
+    ids = jnp.where(patch_mask, ids, 0)
+    return ids.reshape(b, nph * npw)
+
+
+def forward(
+    params: dict,
+    cfg: VisionConfig,
+    pixel_values: jnp.ndarray,                      # [B, 3, H, W]
+    patch_mask: Optional[jnp.ndarray] = None,       # [B, H/p, W/p] bool
+) -> jnp.ndarray:
+    """Returns [B, num_patches, hidden] post-LN features."""
+    b = pixel_values.shape[0]
+    p = cfg.patch_size
+    nph, npw = pixel_values.shape[2] // p, pixel_values.shape[3] // p
+
+    x = patchify(pixel_values.astype(_dtype(cfg)), p)
+    x = x @ params["patch_embed"]["kernel"] + params["patch_embed"]["bias"]
+
+    if patch_mask is not None:
+        pos_ids = navit_position_ids(patch_mask, cfg.patches_per_side)
+        seg = patch_mask.reshape(b, -1).astype(jnp.int32)
+    else:
+        pos_ids = jnp.broadcast_to(jnp.arange(nph * npw, dtype=jnp.int32), (b, nph * npw))
+        seg = None
+    x = x + jnp.take(params["pos_embed"], pos_ids, axis=0)
+
+    def body(carry, lp):
+        (h,) = carry
+        res = h
+        y = layer_norm(h, lp["ln1"]["scale"], lp["ln1"]["bias"], cfg.layer_norm_eps)
+        s = y.shape[1]
+        q = (y @ lp["attn"]["wq"] + lp["attn"]["bq"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
+        kk = (y @ lp["attn"]["wk"] + lp["attn"]["bk"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
+        vv = (y @ lp["attn"]["wv"] + lp["attn"]["bv"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
+        o = attention(q, kk, vv, q_segment_ids=seg, kv_segment_ids=seg)
+        h = res + (o.reshape(b, s, -1) @ lp["attn"]["wo"] + lp["attn"]["bo"])
+        res = h
+        y = layer_norm(h, lp["ln2"]["scale"], lp["ln2"]["bias"], cfg.layer_norm_eps)
+        y = jax.nn.gelu(y @ lp["mlp"]["fc1"] + lp["mlp"]["b1"], approximate=True)
+        h = res + (y @ lp["mlp"]["fc2"] + lp["mlp"]["b2"])
+        return (h,), None
+
+    (x,), _ = jax.lax.scan(body, (x,), params["layers"])
+    return layer_norm(
+        x, params["post_ln"]["scale"], params["post_ln"]["bias"], cfg.layer_norm_eps
+    )

@@ -1,0 +1,138 @@
+"""Parameter/activation sharding rules.
+
+TPU-native replacement for Megatron's per-module tensor-parallel surgery
+(Column/RowParallelLinear, megatron/core/tensor_parallel/layers.py:623,892):
+instead of parallel module classes, every parameter keeps its full logical
+shape and a *rules table* maps parameter-tree paths to PartitionSpecs. XLA
+inserts the all-reduce/all-gather/reduce-scatter collectives that Megatron
+hand-codes in mappings.py.
+
+Conventions (matching Megatron's TP math so per-device shapes are identical):
+  - attention q/k/v projections: shard the head (output) dim over "model"
+  - attention output projection: shard the input dim over "model" (Row)
+  - MLP up/gate: shard output dim over "model" (Column)
+  - MLP down: shard input dim over "model" (Row)
+  - embedding + lm_head: shard vocab dim over "model"
+  - everything else (norms, biases of row-linears): replicated
+Optionally, the first (non-model) dim of each 2D+ param is additionally
+sharded over "fsdp" for ZeRO-3-style parameter sharding (the reference's
+DistributedOptimizer, megatron/core/optimizer/distrib_optimizer.py:45).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from leopard_tpu.parallel.mesh import FSDP_AXIS, MODEL_AXIS
+
+# Ordered (regex, PartitionSpec) rules; the first match wins. Paths are
+# "/"-joined key paths into the param pytree, e.g.
+# "text/layers_0/attn/wq" or "vision/layers_3/mlp/fc1".
+DEFAULT_RULES: list[tuple[str, P]] = [
+    # --- decoder / encoder attention ---
+    (r".*/attn/wq$", P(None, MODEL_AXIS)),          # [hidden, n_heads*head_dim]
+    (r".*/attn/wk$", P(None, MODEL_AXIS)),
+    (r".*/attn/wv$", P(None, MODEL_AXIS)),
+    (r".*/attn/wo$", P(MODEL_AXIS, None)),          # [n_heads*head_dim, hidden]
+    (r".*/attn/bq$", P(MODEL_AXIS)),
+    (r".*/attn/bk$", P(MODEL_AXIS)),
+    (r".*/attn/bv$", P(MODEL_AXIS)),
+    (r".*/attn/bo$", P(None)),
+    # --- MLP ---
+    (r".*/mlp/w_gate$", P(None, MODEL_AXIS)),
+    (r".*/mlp/w_up$", P(None, MODEL_AXIS)),
+    (r".*/mlp/w_down$", P(MODEL_AXIS, None)),
+    (r".*/mlp/fc1$", P(None, MODEL_AXIS)),
+    (r".*/mlp/fc2$", P(MODEL_AXIS, None)),
+    (r".*/mlp/b1$", P(MODEL_AXIS)),
+    (r".*/mlp/b2$", P(None)),
+    # --- MoE experts: expert dim over "expert", then column/row over model ---
+    (r".*/experts/w_gate$", P("expert", None, MODEL_AXIS)),
+    (r".*/experts/w_up$", P("expert", None, MODEL_AXIS)),
+    (r".*/experts/w_down$", P("expert", MODEL_AXIS, None)),
+    (r".*/router/.*$", P()),
+    # --- embeddings / output head: vocab-parallel ---
+    (r".*embed_tokens$", P(MODEL_AXIS, None)),
+    (r".*lm_head$", P(None, MODEL_AXIS)),
+    # --- projector ---
+    (r".*/projector/fc1$", P(None, MODEL_AXIS)),
+    (r".*/projector/fc2$", P(MODEL_AXIS, None)),
+    (r".*/projector/b1$", P(MODEL_AXIS)),
+    # --- vision patchify conv + pos embedding: replicated ---
+    (r".*patch_embed.*$", P()),
+    (r".*pos_embed.*$", P()),
+    # --- perceiver latents ---
+    (r".*latents$", P()),
+    # --- norms, scalars, everything else ---
+    (r".*", P()),
+]
+
+
+def path_str(path) -> str:
+    parts = []
+    for p in path:
+        if isinstance(p, jax.tree_util.DictKey):
+            parts.append(str(p.key))
+        elif isinstance(p, jax.tree_util.SequenceKey):
+            parts.append(str(p.idx))
+        elif isinstance(p, jax.tree_util.GetAttrKey):
+            parts.append(str(p.name))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def spec_for_path(path: str, rules=None) -> P:
+    rules = DEFAULT_RULES if rules is None else rules
+    for pattern, spec in rules:
+        if re.fullmatch(pattern, path):
+            return spec
+    return P()
+
+
+def _normalize(spec: P, ndim: int, fsdp: bool) -> P:
+    """Right-align the spec to the param rank (so rules written for a single
+    layer's [in, out] weight also apply to layer-stacked [L, in, out] params),
+    then optionally FSDP-shard the first still-replicated axis."""
+    parts = [None] * max(0, ndim - len(spec)) + list(spec)
+    parts = parts[:ndim] if ndim else list(spec)
+    if fsdp and ndim:
+        for i, p in enumerate(parts):
+            if p is None:
+                parts[i] = FSDP_AXIS
+                break
+    return P(*parts)
+
+
+def param_specs(params: Any, rules=None, fsdp: bool = False) -> Any:
+    """PartitionSpec pytree matching `params`."""
+
+    def leaf_spec(path, leaf):
+        spec = spec_for_path(path_str(path), rules)
+        return _normalize(spec, getattr(leaf, "ndim", 0), fsdp)
+
+    return jax.tree_util.tree_map_with_path(leaf_spec, params)
+
+
+def param_shardings(params: Any, mesh: Mesh, rules=None, fsdp: bool = False) -> Any:
+    specs = param_specs(params, rules, fsdp)
+    return jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), specs)
+
+
+def shard_params(params: Any, mesh: Mesh, rules=None, fsdp: bool = False) -> Any:
+    """Place a param pytree onto the mesh according to the rules."""
+    shardings = param_shardings(params, mesh, rules, fsdp)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+
+def logical_batch_spec(seq_sharded: bool = False) -> P:
+    """Activation spec for [batch, seq, ...]: batch over data(+fsdp), seq over
+    "seq" when sequence parallelism is on (≙ Megatron --sequence-parallel,
+    mappings.py:268-324)."""
+    if seq_sharded:
+        return P(("data", "fsdp"), "seq", None)
+    return P(("data", "fsdp"), None, None)
