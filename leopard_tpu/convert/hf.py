@@ -1,0 +1,233 @@
+"""HF checkpoint ↔ leopard-tpu parameter conversion.
+
+Counterpart of the reference's bidirectional converter
+(toolkits/model_checkpoints_convertor/llava/hf2megatron_llava.py) — but much
+simpler by design: we use the HF half-rotation RoPE layout natively, so no QKV
+interleave reordering (:244-309 there) and no TP shard split/merge (:184-216)
+are needed. Sharding happens at load time via NamedSharding placement.
+
+Layout notes:
+  - HF Linear stores [out, in]; our params store [in, out] → transpose.
+  - Per-layer HF tensors are stacked on a leading layer axis (lax.scan layout).
+  - The Leopard-LLaVA HF checkpoint (wyu1/Leopard-LLaVA) is a
+    LlavaForConditionalGeneration: `vision_tower.vision_model.*`,
+    `multi_modal_projector.linear_{1,2}.*`, `language_model.model.*`
+    (evaluations/models/llava_multiimg_siglip_anyres.py:179-230 is the spec).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+from leopard_tpu.config import (
+    ProjectorConfig,
+    TextConfig,
+    VisionConfig,
+    VLMConfig,
+)
+
+
+Array = np.ndarray
+StateDict = Mapping[str, Array]
+
+
+def _to_np(x) -> np.ndarray:
+    """Accept torch tensors or numpy arrays."""
+    if isinstance(x, np.ndarray):
+        return x
+    # torch tensor (possibly bf16): go through float32
+    return x.detach().to(dtype=_torch().float32).cpu().numpy()
+
+
+def _torch():
+    import torch
+
+    return torch
+
+
+def _stack(sd: StateDict, template: str, n: int, transpose: bool = False) -> np.ndarray:
+    arrs = []
+    for i in range(n):
+        a = _to_np(sd[template.format(i=i)])
+        arrs.append(a.T if transpose else a)
+    return np.stack(arrs)
+
+
+def convert_decoder(sd: StateDict, cfg: TextConfig, prefix: str = "model.") -> dict:
+    """HF LlamaForCausalLM / MistralForCausalLM state dict → decoder params."""
+    L = cfg.num_layers
+    p = prefix
+    dt = jnp.dtype(cfg.dtype)
+
+    def cast(a):
+        return jnp.asarray(a, dtype=dt)
+
+    params = {
+        "embed_tokens": cast(_to_np(sd[f"{p}embed_tokens.weight"])),
+        "layers": {
+            "input_norm": cast(_stack(sd, p + "layers.{i}.input_layernorm.weight", L)),
+            "attn": {
+                "wq": cast(_stack(sd, p + "layers.{i}.self_attn.q_proj.weight", L, transpose=True)),
+                "wk": cast(_stack(sd, p + "layers.{i}.self_attn.k_proj.weight", L, transpose=True)),
+                "wv": cast(_stack(sd, p + "layers.{i}.self_attn.v_proj.weight", L, transpose=True)),
+                "wo": cast(_stack(sd, p + "layers.{i}.self_attn.o_proj.weight", L, transpose=True)),
+            },
+            "post_attn_norm": cast(
+                _stack(sd, p + "layers.{i}.post_attention_layernorm.weight", L)
+            ),
+            "mlp": {
+                "w_gate": cast(_stack(sd, p + "layers.{i}.mlp.gate_proj.weight", L, transpose=True)),
+                "w_up": cast(_stack(sd, p + "layers.{i}.mlp.up_proj.weight", L, transpose=True)),
+                "w_down": cast(_stack(sd, p + "layers.{i}.mlp.down_proj.weight", L, transpose=True)),
+            },
+        },
+        "final_norm": cast(_to_np(sd[f"{p}norm.weight"])),
+    }
+    lm_head_key = "lm_head.weight"
+    # strip the decoder prefix's own parent to find lm_head (it sits beside "model.")
+    parent = prefix.rsplit("model.", 1)[0]
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = cast(_to_np(sd[parent + lm_head_key]).T)
+    return params
+
+
+def convert_siglip_vision(
+    sd: StateDict, cfg: VisionConfig, prefix: str = "vision_model."
+) -> dict:
+    """HF SiglipVisionModel state dict → siglip params."""
+    L = cfg.num_layers
+    p = prefix
+    dt = jnp.dtype(cfg.dtype)
+
+    def cast(a):
+        return jnp.asarray(a, dtype=dt)
+
+    conv_w = _to_np(sd[f"{p}embeddings.patch_embedding.weight"])  # [H, C, ph, pw]
+    h = conv_w.shape[0]
+    # flatten (C, ph, pw) in that order to match patchify()'s unfold layout
+    kernel = conv_w.reshape(h, -1).T
+
+    def lyr(name, transpose=False):
+        return cast(_stack(sd, p + "encoder.layers.{i}." + name, L, transpose=transpose))
+
+    return {
+        "patch_embed": {
+            "kernel": cast(kernel),
+            "bias": cast(_to_np(sd[f"{p}embeddings.patch_embedding.bias"])),
+        },
+        "pos_embed": cast(_to_np(sd[f"{p}embeddings.position_embedding.weight"])),
+        "layers": {
+            "ln1": {"scale": lyr("layer_norm1.weight"), "bias": lyr("layer_norm1.bias")},
+            "attn": {
+                "wq": lyr("self_attn.q_proj.weight", transpose=True),
+                "bq": lyr("self_attn.q_proj.bias"),
+                "wk": lyr("self_attn.k_proj.weight", transpose=True),
+                "bk": lyr("self_attn.k_proj.bias"),
+                "wv": lyr("self_attn.v_proj.weight", transpose=True),
+                "bv": lyr("self_attn.v_proj.bias"),
+                "wo": lyr("self_attn.out_proj.weight", transpose=True),
+                "bo": lyr("self_attn.out_proj.bias"),
+            },
+            "ln2": {"scale": lyr("layer_norm2.weight"), "bias": lyr("layer_norm2.bias")},
+            "mlp": {
+                "fc1": lyr("mlp.fc1.weight", transpose=True),
+                "b1": lyr("mlp.fc1.bias"),
+                "fc2": lyr("mlp.fc2.weight", transpose=True),
+                "b2": lyr("mlp.fc2.bias"),
+            },
+        },
+        "post_ln": {
+            "scale": cast(_to_np(sd[f"{p}post_layernorm.weight"])),
+            "bias": cast(_to_np(sd[f"{p}post_layernorm.bias"])),
+        },
+    }
+
+
+def convert_projector(
+    sd: StateDict, cfg: ProjectorConfig, prefix: str = "multi_modal_projector."
+) -> dict:
+    dt = jnp.dtype(cfg.dtype)
+    return {
+        "fc1": jnp.asarray(_to_np(sd[f"{prefix}linear_1.weight"]).T, dt),
+        "b1": jnp.asarray(_to_np(sd[f"{prefix}linear_1.bias"]), dt),
+        "fc2": jnp.asarray(_to_np(sd[f"{prefix}linear_2.weight"]).T, dt),
+        "b2": jnp.asarray(_to_np(sd[f"{prefix}linear_2.bias"]), dt),
+    }
+
+
+def convert_leopard_llava(sd: StateDict, cfg: VLMConfig) -> dict:
+    """Full Leopard-LLaVA HF checkpoint → VLM params."""
+    return {
+        "vision": convert_siglip_vision(sd, cfg.vision, "vision_tower.vision_model."),
+        "projector": convert_projector(sd, cfg.projector, "multi_modal_projector."),
+        "text": convert_decoder(sd, cfg.text, "language_model.model."),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Reverse direction (our params → HF state dict), for eval-harness export
+# parity with hf2megatron_llava.py --convert_checkpoint_from_megatron_to_transformers.
+# ---------------------------------------------------------------------------
+
+
+def export_decoder(params: dict, cfg: TextConfig, prefix: str = "model.") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    p = prefix
+    out[f"{p}embed_tokens.weight"] = np.asarray(params["embed_tokens"], np.float32)
+    layers = params["layers"]
+    for i in range(cfg.num_layers):
+        out[f"{p}layers.{i}.input_layernorm.weight"] = np.asarray(layers["input_norm"][i], np.float32)
+        out[f"{p}layers.{i}.self_attn.q_proj.weight"] = np.asarray(layers["attn"]["wq"][i], np.float32).T
+        out[f"{p}layers.{i}.self_attn.k_proj.weight"] = np.asarray(layers["attn"]["wk"][i], np.float32).T
+        out[f"{p}layers.{i}.self_attn.v_proj.weight"] = np.asarray(layers["attn"]["wv"][i], np.float32).T
+        out[f"{p}layers.{i}.self_attn.o_proj.weight"] = np.asarray(layers["attn"]["wo"][i], np.float32).T
+        out[f"{p}layers.{i}.post_attention_layernorm.weight"] = np.asarray(layers["post_attn_norm"][i], np.float32)
+        out[f"{p}layers.{i}.mlp.gate_proj.weight"] = np.asarray(layers["mlp"]["w_gate"][i], np.float32).T
+        out[f"{p}layers.{i}.mlp.up_proj.weight"] = np.asarray(layers["mlp"]["w_up"][i], np.float32).T
+        out[f"{p}layers.{i}.mlp.down_proj.weight"] = np.asarray(layers["mlp"]["w_down"][i], np.float32).T
+    out[f"{p}norm.weight"] = np.asarray(params["final_norm"], np.float32)
+    if "lm_head" in params:
+        parent = prefix.rsplit("model.", 1)[0]
+        out[parent + "lm_head.weight"] = np.asarray(params["lm_head"], np.float32).T
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Loading from disk (safetensors shards or a torch .bin) without network
+# ---------------------------------------------------------------------------
+
+
+def load_hf_state_dict(model_dir: str) -> Dict[str, Array]:
+    """Load all weights from an HF model directory (safetensors index, single
+    safetensors file, or pytorch_model.bin)."""
+    index_path = os.path.join(model_dir, "model.safetensors.index.json")
+    single = os.path.join(model_dir, "model.safetensors")
+    bin_path = os.path.join(model_dir, "pytorch_model.bin")
+    sd: Dict[str, Array] = {}
+    if os.path.exists(index_path):
+        from safetensors import safe_open
+
+        with open(index_path) as f:
+            index = json.load(f)
+        shards = sorted(set(index["weight_map"].values()))
+        for shard in shards:
+            with safe_open(os.path.join(model_dir, shard), framework="pt") as fh:
+                for key in fh.keys():
+                    sd[key] = fh.get_tensor(key)
+    elif os.path.exists(single):
+        from safetensors import safe_open
+
+        with safe_open(single, framework="pt") as fh:
+            for key in fh.keys():
+                sd[key] = fh.get_tensor(key)
+    elif os.path.exists(bin_path):
+        torch = _torch()
+        sd = torch.load(bin_path, map_location="cpu", weights_only=True)
+    else:
+        raise FileNotFoundError(f"no weights found under {model_dir}")
+    return sd

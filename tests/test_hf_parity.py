@@ -1,0 +1,243 @@
+"""Numerical parity gates against HuggingFace reference implementations.
+
+The reference's parity oracles are its HF checkpoints (README.md:46-49); with
+no network access we instantiate tiny randomly-initialized HF models (torch
+CPU) with matching configs, convert weights with leopard_tpu.convert.hf, and
+require logits/feature agreement. This is the same gate the reference's
+converters rely on, at unit-test scale.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import jax.numpy as jnp  # noqa: E402
+
+from leopard_tpu import config as cfgs  # noqa: E402
+from leopard_tpu.convert import hf as convert_hf  # noqa: E402
+from leopard_tpu.models import decoder, projector, siglip, vlm  # noqa: E402
+
+
+def _tiny_llama_cfg(**kw):
+    from transformers import LlamaConfig
+
+    defaults = dict(
+        vocab_size=256,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        max_position_embeddings=128,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+        attention_bias=False,
+        tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    defaults.update(kw)
+    return LlamaConfig(**defaults)
+
+
+def _ours_from_llama(hf_cfg, rope_scaling=None) -> cfgs.TextConfig:
+    return cfgs.TextConfig(
+        vocab_size=hf_cfg.vocab_size,
+        hidden_size=hf_cfg.hidden_size,
+        intermediate_size=hf_cfg.intermediate_size,
+        num_layers=hf_cfg.num_hidden_layers,
+        num_heads=hf_cfg.num_attention_heads,
+        num_kv_heads=hf_cfg.num_key_value_heads,
+        head_dim=hf_cfg.head_dim,
+        rms_norm_eps=hf_cfg.rms_norm_eps,
+        rope_theta=hf_cfg.rope_theta,
+        rope_scaling=rope_scaling,
+        dtype="float32",
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_llama():
+    from transformers import LlamaForCausalLM
+
+    torch.manual_seed(0)
+    hf_cfg = _tiny_llama_cfg()
+    model = LlamaForCausalLM(hf_cfg).eval()
+    cfg = _ours_from_llama(hf_cfg)
+    params = convert_hf.convert_decoder(model.state_dict(), cfg, "model.")
+    return model, cfg, params
+
+
+def test_llama_logits_parity(tiny_llama):
+    model, cfg, params = tiny_llama
+    tokens = np.array([[1, 5, 9, 42, 7, 100, 3, 250]], dtype=np.int32)
+    with torch.no_grad():
+        hf_logits = model(torch.tensor(tokens, dtype=torch.long)).logits.numpy()
+    ours, _ = decoder.forward(params, cfg, jnp.asarray(tokens))
+    np.testing.assert_allclose(np.asarray(ours), hf_logits, rtol=2e-4, atol=2e-4)
+
+
+def test_llama_logits_parity_llama31_rope():
+    from transformers import LlamaForCausalLM
+
+    torch.manual_seed(1)
+    hf_cfg = _tiny_llama_cfg(
+        rope_theta=500000.0,
+        rope_scaling={
+            "rope_type": "llama3",
+            "factor": 8.0,
+            "low_freq_factor": 1.0,
+            "high_freq_factor": 4.0,
+            "original_max_position_embeddings": 8192,
+        },
+    )
+    model = LlamaForCausalLM(hf_cfg).eval()
+    cfg = cfgs.TextConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=16, rope_theta=500000.0,
+        rope_scaling="llama3.1", dtype="float32",
+    )
+    params = convert_hf.convert_decoder(model.state_dict(), cfg, "model.")
+    tokens = np.array([[3, 17, 200, 90, 12, 0]], dtype=np.int32)
+    with torch.no_grad():
+        hf_logits = model(torch.tensor(tokens, dtype=torch.long)).logits.numpy()
+    ours, _ = decoder.forward(params, cfg, jnp.asarray(tokens))
+    np.testing.assert_allclose(np.asarray(ours), hf_logits, rtol=2e-4, atol=2e-4)
+
+
+def test_llama_kv_cache_decode_matches_full_forward(tiny_llama):
+    model, cfg, params = tiny_llama
+    tokens = np.array([[1, 5, 9, 42, 7, 100]], dtype=np.int32)
+    full_logits, _ = decoder.forward(params, cfg, jnp.asarray(tokens))
+    # prefill first 4, then decode 2 steps
+    cache = decoder.KVCache.create(cfg, batch=1, max_len=8, dtype=jnp.float32)
+    logits_p, cache = decoder.forward(params, cfg, jnp.asarray(tokens[:, :4]), cache=cache)
+    np.testing.assert_allclose(
+        np.asarray(logits_p), np.asarray(full_logits[:, :4]), rtol=1e-4, atol=1e-4
+    )
+    for t in range(4, 6):
+        step_logits, cache = decoder.forward(
+            params, cfg, jnp.asarray(tokens[:, t : t + 1]), cache=cache
+        )
+        np.testing.assert_allclose(
+            np.asarray(step_logits[:, 0]),
+            np.asarray(full_logits[:, t]),
+            rtol=1e-4,
+            atol=1e-4,
+        )
+
+
+def test_mistral_sliding_window_parity():
+    from transformers import MistralConfig, MistralForCausalLM
+
+    torch.manual_seed(2)
+    hf_cfg = MistralConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=64, rope_theta=10000.0,
+        sliding_window=4, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    model = MistralForCausalLM(hf_cfg).eval()
+    cfg = cfgs.TextConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=16, rope_theta=10000.0,
+        rope_scaling=None, sliding_window=4, dtype="float32",
+        rms_norm_eps=hf_cfg.rms_norm_eps,
+    )
+    params = convert_hf.convert_decoder(model.state_dict(), cfg, "model.")
+    tokens = np.array([[5, 1, 30, 99, 7, 201, 48, 66, 12, 3]], dtype=np.int32)
+    with torch.no_grad():
+        hf_logits = model(torch.tensor(tokens, dtype=torch.long)).logits.numpy()
+    ours, _ = decoder.forward(params, cfg, jnp.asarray(tokens))
+    np.testing.assert_allclose(np.asarray(ours), hf_logits, rtol=2e-4, atol=2e-4)
+
+
+@pytest.fixture(scope="module")
+def tiny_siglip():
+    from transformers import SiglipVisionConfig, SiglipVisionModel
+
+    torch.manual_seed(3)
+    hf_cfg = SiglipVisionConfig(
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        image_size=56,
+        patch_size=14,
+        attn_implementation="eager",
+    )
+    model = SiglipVisionModel(hf_cfg).eval()
+    cfg = cfgs.VisionConfig(
+        hidden_size=64, intermediate_size=128, num_layers=2, num_heads=4,
+        image_size=56, patch_size=14, layer_norm_eps=hf_cfg.layer_norm_eps,
+        dtype="float32",
+    )
+    params = convert_hf.convert_siglip_vision(model.state_dict(), cfg, "vision_model.")
+    return model, cfg, params
+
+
+def test_siglip_features_parity(tiny_siglip):
+    model, cfg, params = tiny_siglip
+    rng = np.random.RandomState(0)
+    pixels = rng.randn(2, 3, 56, 56).astype(np.float32)
+    with torch.no_grad():
+        hf_out = model(torch.tensor(pixels)).last_hidden_state.numpy()
+    ours = np.asarray(siglip.forward(params, cfg, jnp.asarray(pixels)))
+    np.testing.assert_allclose(ours, hf_out, rtol=2e-4, atol=2e-4)
+
+
+def test_navit_position_ids_match_reference_bucketize():
+    """Bucketized pos-ids vs a direct transcription of
+    idefics_vision_tower.py:129-150 in torch."""
+    n = 8  # patches per side of the pos table
+    nph = npw = 8
+    mask = np.zeros((2, nph, npw), dtype=bool)
+    mask[0, :5, :7] = True  # 5×7 real patches
+    mask[1, :8, :3] = True
+    ours = np.asarray(siglip.navit_position_ids(jnp.asarray(mask), n))
+
+    boundaries = torch.arange(1 / n, 1.0, 1 / n)
+    want = np.zeros((2, nph * npw), dtype=np.int64)
+    for b, m in enumerate(torch.tensor(mask)):
+        nb_h = m[:, 0].sum()
+        nb_w = m[0].sum()
+        fh = torch.arange(0, 1 - 1e-6, 1 / nb_h)
+        fw = torch.arange(0, 1 - 1e-6, 1 / nb_w)
+        bh = torch.bucketize(fh, boundaries, right=True)
+        bw = torch.bucketize(fw, boundaries, right=True)
+        ids = (bh[:, None] * n + bw).flatten()
+        flat = m.reshape(-1)
+        want[b][flat.numpy()] = ids.numpy()
+    np.testing.assert_array_equal(ours, want)
+
+
+def test_projector_parity():
+    import torch.nn as nn
+
+    torch.manual_seed(4)
+    lin1 = nn.Linear(32, 16)
+    lin2 = nn.Linear(16, 16)
+    sd = {
+        "multi_modal_projector.linear_1.weight": lin1.weight,
+        "multi_modal_projector.linear_1.bias": lin1.bias,
+        "multi_modal_projector.linear_2.weight": lin2.weight,
+        "multi_modal_projector.linear_2.bias": lin2.bias,
+    }
+    cfg = cfgs.ProjectorConfig(input_size=32, hidden_size=16, dtype="float32")
+    params = convert_hf.convert_projector(sd, cfg)
+    x = np.random.RandomState(1).randn(3, 32).astype(np.float32)
+    with torch.no_grad():
+        want = lin2(nn.functional.gelu(lin1(torch.tensor(x)))).numpy()
+    got = np.asarray(projector.forward(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_export_roundtrip(tiny_llama):
+    model, cfg, params = tiny_llama
+    sd = convert_hf.export_decoder(params, cfg, "model.")
+    params2 = convert_hf.convert_decoder(sd, cfg, "model.")
+    tokens = jnp.asarray([[4, 8, 15, 16]], dtype=jnp.int32)
+    a, _ = decoder.forward(params, cfg, tokens)
+    b, _ = decoder.forward(params2, cfg, tokens)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
