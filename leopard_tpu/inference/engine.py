@@ -1,0 +1,187 @@
+"""Multi-image VLM inference engine: bucketed prefill + KV-cache decode.
+
+Replaces two reference stacks at once (SURVEY.md §1 notes they are disjoint
+there): the Megatron-native sampler (megatron_patch/generation/generation.py)
+and the HF eval adapter's generate loop
+(evaluations/models/llava_multiimg_siglip_anyres.py:448-452). One engine, one
+set of weights.
+
+TPU design:
+  - static shapes everywhere: prompt lengths and tile counts are rounded up
+    to buckets so XLA compiles a small, reusable set of programs.
+  - the decode loop is a single `lax.scan` over steps (one compiled program,
+    no per-token dispatch overhead).
+  - sharding: params are placed by rules (parallel/sharding.py); batch is
+    sharded over the data axes, and TP shardings propagate from the params.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from leopard_tpu.config import GenerateConfig, VLMConfig
+from leopard_tpu.inference.sampling import sample
+from leopard_tpu.models import vlm
+from leopard_tpu.models.decoder import KVCache
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _encode_images(params, cfg: VLMConfig, pixel_values, patch_mask=None):
+    return vlm.encode_images(params, cfg, pixel_values, patch_mask)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _prefill(params, cfg: VLMConfig, tokens, seg, cache, image_features=None):
+    """Returns (last-position logits [B, V], updated cache)."""
+    logits, cache = vlm.forward(
+        params, cfg, tokens,
+        image_features=image_features,
+        segment_ids=seg,
+        cache=cache,
+    )
+    lengths = jnp.sum(seg != 0, axis=1)
+    last = jnp.take_along_axis(
+        logits, jnp.maximum(lengths - 1, 0)[:, None, None], axis=1
+    )[:, 0]
+    return last, cache
+
+
+@partial(jax.jit, static_argnames=("cfg", "gen_cfg", "max_new_tokens"))
+def _decode(params, cfg: VLMConfig, gen_cfg: GenerateConfig, first_logits,
+            prompt_tokens, prompt_seg, cache, key, max_new_tokens: int):
+    """Scan decode loop. Returns generated tokens [B, max_new_tokens]."""
+    b = first_logits.shape[0]
+    eos = jnp.asarray(gen_cfg.eos_token_ids, jnp.int32)
+
+    gen_buf = jnp.zeros((b, max_new_tokens), jnp.int32)
+    gen_mask0 = jnp.zeros((b, max_new_tokens), jnp.bool_)
+
+    def step(carry, i):
+        cache, logits, key, done, gen_buf, gen_mask = carry
+        key, sub = jax.random.split(key)
+        tok = sample(
+            logits, sub, gen_cfg,
+            prev_tokens=jnp.concatenate([prompt_tokens, gen_buf], axis=1),
+            prev_mask=jnp.concatenate([prompt_seg != 0, gen_mask], axis=1),
+        )
+        is_eos = jnp.any(tok[:, None] == eos[None, :], axis=1)
+        tok = jnp.where(done, eos[0], tok)
+        gen_buf = gen_buf.at[:, i].set(tok)
+        gen_mask = gen_mask.at[:, i].set(~done)
+        new_done = done | is_eos
+        step_logits, cache = vlm.forward(
+            params, cfg, tok[:, None],
+            segment_ids=jnp.where(done, 0, 1)[:, None].astype(jnp.int32),
+            cache=cache,
+        )
+        return (cache, step_logits[:, 0], key, new_done, gen_buf, gen_mask), None
+
+    done0 = jnp.zeros((b,), jnp.bool_)
+    carry = (cache, first_logits, key, done0, gen_buf, gen_mask0)
+    carry, _ = jax.lax.scan(step, carry, jnp.arange(max_new_tokens))
+    _, _, _, _, gen_buf, gen_mask = carry
+    return gen_buf, gen_mask
+
+
+@dataclasses.dataclass
+class GenerationResult:
+    tokens: List[np.ndarray]          # generated ids per row (trimmed at eos)
+    prompt_lengths: List[int]
+
+
+class Engine:
+    """Stateless-weights inference engine with shape bucketing."""
+
+    def __init__(
+        self,
+        cfg: VLMConfig,
+        params,
+        gen_cfg: Optional[GenerateConfig] = None,
+        seq_buckets: Sequence[int] = (256, 512, 1024, 2048, 4096, 8192, 16384),
+        tile_buckets: Sequence[int] = (1, 2, 4, 8, 16, 32, 64),
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.gen_cfg = gen_cfg or GenerateConfig()
+        self.seq_buckets = sorted(seq_buckets)
+        self.tile_buckets = sorted(tile_buckets)
+
+    def _bucket(self, x: int, buckets: Sequence[int]) -> int:
+        for bkt in buckets:
+            if x <= bkt:
+                return bkt
+        return round_up(x, buckets[-1])
+
+    def encode_images(self, pixel_values: np.ndarray, patch_mask=None):
+        """pixel_values: [N, 3, H, W]. Pads N up to a tile bucket."""
+        n = pixel_values.shape[0]
+        nb = self._bucket(n, self.tile_buckets)
+        if nb != n:
+            pad = np.zeros((nb - n,) + pixel_values.shape[1:], pixel_values.dtype)
+            pixel_values = np.concatenate([pixel_values, pad], 0)
+            if patch_mask is not None:
+                mpad = np.zeros((nb - n,) + patch_mask.shape[1:], patch_mask.dtype)
+                patch_mask = np.concatenate([patch_mask, mpad], 0)
+        feats = _encode_images(
+            self.params, self.cfg, jnp.asarray(pixel_values),
+            jnp.asarray(patch_mask) if patch_mask is not None else None,
+        )
+        return feats  # [NB, T, H]; rows ≥ n are unused by the splice gather
+
+    def generate(
+        self,
+        prompts: Sequence[np.ndarray],
+        images: Optional[np.ndarray] = None,        # [N_tiles, 3, H, W], batch-ordered
+        patch_mask: Optional[np.ndarray] = None,
+        gen_cfg: Optional[GenerateConfig] = None,
+        max_cache: Optional[int] = None,
+    ) -> GenerationResult:
+        gen_cfg = gen_cfg or self.gen_cfg
+        b = len(prompts)
+        lengths = [len(p) for p in prompts]
+        s = self._bucket(max(lengths), self.seq_buckets)
+        tokens = np.zeros((b, s), np.int32)
+        seg = np.zeros((b, s), np.int32)
+        for i, p in enumerate(prompts):
+            tokens[i, : len(p)] = p
+            seg[i, : len(p)] = 1
+
+        cache_len = max_cache or self._bucket(
+            s + gen_cfg.max_new_tokens, self.seq_buckets
+        )
+        cache = KVCache.create(self.cfg.text, b, cache_len)
+
+        feats = None
+        if images is not None and images.shape[0] > 0:
+            feats = self.encode_images(images, patch_mask)
+
+        first_logits, cache = _prefill(
+            self.params, self.cfg, jnp.asarray(tokens), jnp.asarray(seg),
+            cache, feats,
+        )
+        gen_buf, gen_mask = _decode(
+            self.params, self.cfg, gen_cfg, first_logits,
+            jnp.asarray(tokens), jnp.asarray(seg), cache,
+            jax.random.PRNGKey(gen_cfg.seed), gen_cfg.max_new_tokens,
+        )
+        gen_buf = np.asarray(gen_buf)
+        gen_mask = np.asarray(gen_mask)
+        out = []
+        for i in range(b):
+            row = gen_buf[i][gen_mask[i]]
+            # trim at first eos
+            stop = np.isin(row, np.asarray(gen_cfg.eos_token_ids))
+            if stop.any():
+                row = row[: int(np.argmax(stop))]
+            out.append(row)
+        return GenerationResult(tokens=out, prompt_lengths=lengths)

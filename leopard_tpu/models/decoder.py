@@ -70,17 +70,20 @@ def init_params(cfg: TextConfig, key: jax.Array) -> dict:
 
 @dataclass
 class KVCache:
-    """Functional KV cache.
+    """Functional KV cache with per-row write offsets.
 
-    k/v: [L, B, S_max, H_kv, D]; seg: [B, S_max] segment id per cached
-    position (0 = invalid/padding — never attended); index: positions written
-    so far (decode is lockstep; ragged prompts are left-padded by the engine).
+    k/v: [L, B, S_max, H_kv, D]; seg: [B, S_max] segment id per cached slot
+    (0 = invalid/padding — never attended); index: [B] int32 per-row count of
+    valid tokens written so far. The invariant is *slot == absolute position*:
+    prefill writes a right-padded block at offset 0 (pad slots get seg 0),
+    decode steps write each row's next token at its own true length, reusing
+    stale pad slots. This keeps ragged batches correct with static shapes.
     """
 
     k: jnp.ndarray
     v: jnp.ndarray
     seg: jnp.ndarray
-    index: jnp.ndarray  # scalar int32
+    index: jnp.ndarray  # [B] int32
 
     @staticmethod
     def create(cfg: TextConfig, batch: int, max_len: int, dtype=None) -> "KVCache":
@@ -90,7 +93,7 @@ class KVCache:
             k=jnp.zeros(shape, dt),
             v=jnp.zeros(shape, dt),
             seg=jnp.zeros((batch, max_len), jnp.int32),
-            index=jnp.zeros((), jnp.int32),
+            index=jnp.zeros((batch,), jnp.int32),
         )
 
 
@@ -123,8 +126,12 @@ def _layer(
     new_kv = None
     if cache_kv is not None:
         ck, cv = cache_kv
-        ck = jax.lax.dynamic_update_slice(ck, kk.astype(ck.dtype), (0, cache_index, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, vv.astype(cv.dtype), (0, cache_index, 0, 0))
+
+        def write(c, new, idx):
+            return jax.lax.dynamic_update_slice(c, new, (idx, 0, 0))
+
+        ck = jax.vmap(write)(ck, kk.astype(ck.dtype), cache_index)
+        cv = jax.vmap(write)(cv, vv.astype(cv.dtype), cache_index)
         kk, vv = ck, cv
         new_kv = (ck, cv)
 
@@ -157,7 +164,7 @@ def forward(
     b, s, _ = x.shape
 
     if positions is None:
-        base = cache.index if cache is not None else 0
+        base = cache.index[:, None] if cache is not None else 0
         positions = base + jnp.arange(s, dtype=jnp.int32)[None, :]
         positions = jnp.broadcast_to(positions, (b, s))
 
@@ -165,28 +172,26 @@ def forward(
     cos, sin = rope_cos_sin(positions, inv_freq)
 
     new_seg = None
+    new_index = None
     if cache is not None:
         kv_len = cache.k.shape[2]
         if segment_ids is None:
             segment_ids = jnp.ones((b, s), jnp.int32)
-        new_seg = jax.lax.dynamic_update_slice(
-            cache.seg, segment_ids.astype(jnp.int32), (0, cache.index)
+
+        def write_seg(row, new, idx):
+            return jax.lax.dynamic_update_slice(row, new, (idx,))
+
+        new_seg = jax.vmap(write_seg)(
+            cache.seg, segment_ids.astype(jnp.int32), cache.index
         )
+        new_index = cache.index + jnp.sum(segment_ids != 0, axis=1, dtype=jnp.int32)
+        # slot == absolute position (see KVCache docstring)
         kv_pos = jnp.arange(kv_len, dtype=jnp.int32)[None, :]
         kv_valid = new_seg != 0  # [B, S_max]
-        # cached positions index..index+s hold the rows written this call;
-        # their true position is `positions` of the writing token.
-        cache_positions = jax.lax.dynamic_update_slice(
-            jnp.broadcast_to(kv_pos, (b, kv_len)).astype(jnp.int32),
-            positions.astype(jnp.int32),
-            (0, cache.index),
-        )
-        causal = positions[:, :, None] >= cache_positions[:, None, :]
+        causal = positions[:, :, None] >= kv_pos[:, None, :]
         mask = (causal & kv_valid[:, None, :])[:, None]
         if cfg.sliding_window is not None:
-            window = (
-                positions[:, :, None] - cache_positions[:, None, :]
-            ) < cfg.sliding_window
+            window = (positions[:, :, None] - kv_pos[:, None, :]) < cfg.sliding_window
             mask = mask & window[:, None]
         mask = mask & (segment_ids != 0)[:, None, :, None]
     else:
@@ -208,9 +213,7 @@ def forward(
             return (xs,), new_kv
 
         (x,), new_kvs = jax.lax.scan(body, (x,), (stacked, cache.k, cache.v))
-        new_cache = KVCache(
-            k=new_kvs[0], v=new_kvs[1], seg=new_seg, index=cache.index + s
-        )
+        new_cache = KVCache(k=new_kvs[0], v=new_kvs[1], seg=new_seg, index=new_index)
     else:
         def body(carry, lp):
             xs, = carry
