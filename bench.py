@@ -1,0 +1,76 @@
+"""Benchmark: multi-image prefill throughput (tokens/sec/chip) on TPU.
+
+The north-star metric from BASELINE.md: multi-image prefill tokens/sec/chip
+for the Leopard pipeline — SigLIP encode of anyres tiles → pixel-shuffle →
+projector → decoder prefill over the full multimodal sequence.
+
+Profile: full SigLIP-SO400M-14-364 tower + llama3.1-style GQA decoder at a
+single-chip-sized profile (hidden 2048 / 16 layers; the 8B profile needs
+TP>1, which the driver cannot run on one chip). Sequence: 4096 tokens of
+which 16 tiles × 169 = 2704 are visual.
+
+vs_baseline: ratio to the HF-PyTorch-CPU prefill throughput of the identical
+model/profile measured with tools/cpu_baseline.py on this machine (the
+reference publishes no numeric throughput — BASELINE.md; its eval harness
+runs HF transformers, so HF-PyTorch is the comparable software stack).
+"""
+
+import json
+import time
+
+import numpy as np
+
+# tokens/sec for the identical profile+sequence on HF-PyTorch CPU (this
+# machine), measured by tools/cpu_baseline.py on 2026-08-16:
+# vision(2 tiles)=10.55s, text(512 tok)=13.77s → 194.51s extrapolated.
+BASELINE_CPU_TOK_S = 21.06
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_single_chip_cfg
+    from leopard_tpu.models import vlm
+
+    cfg = _flagship_single_chip_cfg()
+    params = vlm.init_params(cfg, jax.random.PRNGKey(0))
+
+    n_tiles = 16
+    tokens_per_tile = cfg.anyres.tokens_per_tile
+    seq = 4096
+    ids = np.full((1, seq), 11, np.int32)
+    ids[0, 0] = 128000
+    ids[0, 8 : 8 + n_tiles * tokens_per_tile] = cfg.image_token_id
+    tokens = jnp.asarray(ids)
+    images = jnp.asarray(
+        np.random.RandomState(0).randn(n_tiles, 3, 364, 364), jnp.bfloat16
+    )
+
+    @jax.jit
+    def prefill(params, tokens, images):
+        logits, _ = vlm.forward(params, cfg, tokens, images=images)
+        return logits[:, -1]
+
+    # warmup/compile
+    prefill(params, tokens, images).block_until_ready()
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = prefill(params, tokens, images)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    tok_s = seq / dt
+    result = {
+        "metric": "multiimg_prefill_tok_s_chip",
+        "value": round(tok_s, 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(tok_s / BASELINE_CPU_TOK_S, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -145,13 +145,18 @@ def tile_images(
     images: Sequence[Image.Image],
     tile_size: int = 364,
     total_budget: int = 50,
+    order: str = "train",
 ) -> TiledImages:
     """Full anyres pipeline for one multi-image sample.
 
     Budget = total_budget − n_images (one reserved slot per original image);
     when the budget is non-positive, every image contributes only its original.
-    Per image, output order is [tiles..., original].
+    Per image, crop order is [tiles..., original] for order="train"
+    (mm_pretrain_dataset.py:252: `patches + [origin]`) and
+    [original, tiles...] for order="eval"
+    (llava_multiimg_siglip_anyres.py:398: `[origin] + patches`).
     """
+    assert order in ("train", "eval")
     images = [im.convert("RGB") if im.mode != "RGB" else im for im in images]
     budget = total_budget - len(images)
     if budget <= 0:
@@ -166,8 +171,12 @@ def tile_images(
     out: List[Image.Image] = []
     per_image = []
     for orig, tiles in zip(images, grids):
-        out.extend(tiles)
-        out.append(orig)
+        if order == "train":
+            out.extend(tiles)
+            out.append(orig)
+        else:
+            out.append(orig)
+            out.extend(tiles)
         per_image.append(len(tiles))
     return TiledImages(tiles=out, tiles_per_image=per_image)
 

@@ -156,6 +156,7 @@ def forward(
     segment_ids: Optional[jnp.ndarray] = None,   # [B, S]; 0 = padding
     cache: Optional[KVCache] = None,
     return_hidden: bool = False,
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Returns (logits [B, S, V] fp32, updated cache or None)."""
     if input_embeds is None:
@@ -220,6 +221,11 @@ def forward(
             xs, _ = _layer(xs, lp, cfg, cos, sin, mask, None, None)
             return (xs,), None
 
+        if remat:
+            # full recompute per layer ≙ the reference's --recompute-granularity
+            # full --recompute-method uniform --recompute-num-layers 1
+            # (train_multiimg_llava_siglip.sh:96-100)
+            body = jax.checkpoint(body, prevent_cse=False)
         (x,), _ = jax.lax.scan(body, (x,), stacked)
         new_cache = None
 

@@ -84,6 +84,7 @@ def forward(
     segment_ids: Optional[jnp.ndarray] = None,
     cache: Optional[KVCache] = None,
     image_features: Optional[jnp.ndarray] = None,  # precomputed encode_images
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Full VLM forward → (logits [B, S, V] fp32, updated cache)."""
     embeds = jnp.take(params["text"]["embed_tokens"], jnp.maximum(tokens, 0), axis=0)
@@ -99,4 +100,5 @@ def forward(
         positions=positions,
         segment_ids=segment_ids,
         cache=cache,
+        remat=remat,
     )

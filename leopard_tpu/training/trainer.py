@@ -1,0 +1,184 @@
+"""Training step: loss, optimizer, LR schedule, sharded train state.
+
+TPU-native replacement for the reference's train_step
+(megatron_patch/training.py:204-263) + DistributedOptimizer
+(megatron/core/optimizer/distrib_optimizer.py:45) + grad clipping
+(megatron/core/optimizer/clip_grads.py):
+
+  - fp32 master params live in the train state; forward casts to bf16
+    (≙ Megatron bf16-with-fp32-main-params), so optimizer math is exact.
+  - DP gradient reduction, TP activation collectives, and optimizer-state
+    sharding all come from jit over the mesh: grads inherit param shardings
+    (ZeRO-style when fsdp axis > 1), no hand-written reduce-scatter.
+  - loss = token cross-entropy weighted by per-token loss weights
+    (≙ the `weights` stream of mm_pretrain_dataset.py:841-854 and
+    `--answer-loss-only`), averaged over valid tokens globally.
+  - remat ≙ full recompute; grad-norm clip ≙ clip_grads.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from leopard_tpu.config import OptimizerConfig, TrainConfig, VLMConfig
+from leopard_tpu.models import vlm
+
+
+@dataclasses.dataclass
+class TrainState:
+    step: jnp.ndarray          # scalar int32
+    params: Any                # fp32 master params
+    opt_state: Any
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+jax.tree_util.register_dataclass(
+    TrainState, data_fields=["step", "params", "opt_state"], meta_fields=[]
+)
+
+
+def lr_schedule(cfg: OptimizerConfig):
+    if cfg.schedule == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=cfg.lr,
+            warmup_steps=cfg.warmup_steps,
+            decay_steps=max(cfg.decay_steps, cfg.warmup_steps + 1),
+            end_value=cfg.min_lr,
+        )
+    if cfg.schedule == "linear":
+        return optax.warmup_constant_schedule(0.0, cfg.lr, cfg.warmup_steps)
+    return lambda step: cfg.lr
+
+
+def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
+    chain = []
+    if cfg.grad_clip > 0:
+        chain.append(optax.clip_by_global_norm(cfg.grad_clip))
+    chain.append(
+        optax.adamw(
+            learning_rate=lr_schedule(cfg),
+            b1=cfg.beta1,
+            b2=cfg.beta2,
+            eps=cfg.eps,
+            weight_decay=cfg.weight_decay,
+        )
+    )
+    return optax.chain(*chain)
+
+
+def create_train_state(params, cfg: TrainConfig, frozen_mask=None) -> TrainState:
+    """params are upcast to fp32 master copies."""
+    fp32 = jax.tree_util.tree_map(lambda p: p.astype(jnp.float32), params)
+    tx = make_optimizer(cfg.optimizer)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32), params=fp32, opt_state=tx.init(fp32)
+    )
+
+
+def cast_for_compute(params, dtype=jnp.bfloat16):
+    return jax.tree_util.tree_map(
+        lambda p: p.astype(dtype) if p.dtype == jnp.float32 else p, params
+    )
+
+
+def token_cross_entropy(
+    logits: jnp.ndarray,        # [B, S, V] fp32 (already shifted: predicts t+1)
+    targets: jnp.ndarray,       # [B, S] int32
+    weights: jnp.ndarray,       # [B, S] float32
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (weighted mean loss, total weight)."""
+    logits = logits.astype(jnp.float32)
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    true_logit = jnp.take_along_axis(
+        logits, targets[..., None].astype(jnp.int32), axis=-1
+    )[..., 0]
+    nll = logz - true_logit
+    total_w = jnp.maximum(jnp.sum(weights), 1e-8)
+    return jnp.sum(nll * weights) / total_w, total_w
+
+
+def vlm_loss(
+    params,
+    cfg: VLMConfig,
+    batch: dict,
+    compute_dtype=jnp.bfloat16,
+    remat: bool = True,
+):
+    """batch: tokens [B,S], loss_weights [B,S], segment_ids [B,S],
+    optional images [N,3,H,W] (+patch_mask), optional positions.
+
+    Next-token prediction: logits[:, t] predicts tokens[:, t+1]; image-token
+    and padding positions carry weight 0 (≙ loss masking in
+    examples/llava/pretrain_megatron_llava.py:101-121)."""
+    p = cast_for_compute(params, compute_dtype)
+    logits, _ = vlm.forward(
+        p, cfg,
+        batch["tokens"],
+        images=batch.get("images"),
+        patch_mask=batch.get("patch_mask"),
+        positions=batch.get("positions"),
+        segment_ids=batch.get("segment_ids"),
+        remat=remat,
+    )
+    shifted_logits = logits[:, :-1]
+    targets = batch["tokens"][:, 1:]
+    weights = batch["loss_weights"][:, 1:].astype(jnp.float32)
+    # never train on image-token or padding targets
+    weights = weights * (targets != cfg.image_token_id)
+    if "segment_ids" in batch and batch["segment_ids"] is not None:
+        weights = weights * (batch["segment_ids"][:, 1:] != 0)
+    loss, total_w = token_cross_entropy(shifted_logits, targets, weights)
+    return loss, {"loss": loss, "tokens_in_loss": total_w}
+
+
+def make_train_step(cfg: VLMConfig, train_cfg: TrainConfig, frozen=()):
+    """Returns train_step(state, batch) → (state, metrics); jit it with the
+    caller's shardings. `frozen` names top-level param groups to freeze
+    (≙ --freeze-clip-vision-tower / --freeze-llm / --freeze-perceiver,
+    megatron_patch/arguments.py:236-244)."""
+    tx = make_optimizer(train_cfg.optimizer)
+    remat = train_cfg.remat != "none"
+    compute_dtype = jnp.dtype(cfg.text.dtype)
+
+    def train_step(state: TrainState, batch: dict):
+        def loss_fn(params):
+            return vlm_loss(params, cfg, batch, compute_dtype, remat)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        if frozen:
+            grads = {
+                k: (jax.tree_util.tree_map(jnp.zeros_like, v) if k in frozen else v)
+                for k, v in grads.items()
+            }
+        gnorm = optax.global_norm(grads)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = gnorm
+        metrics["nan_step"] = jnp.logical_not(jnp.isfinite(loss))
+        # skip the update entirely on NaN/inf loss (≙ NaN-iteration
+        # accounting, megatron_patch/training.py:325-337)
+        keep = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+        new_params = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(keep, new, old), new_params, state.params
+        )
+        new_opt = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(keep, new, old) if hasattr(new, "shape") else new,
+            new_opt, state.opt_state,
+        )
+        return state.replace(
+            step=state.step + 1, params=new_params, opt_state=new_opt
+        ), metrics
+
+    return train_step
