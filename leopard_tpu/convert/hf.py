@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Callable, Dict, Mapping
+from typing import Callable, Dict, Mapping, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -58,7 +58,12 @@ def _stack(sd: StateDict, template: str, n: int, transpose: bool = False) -> np.
     return np.stack(arrs)
 
 
-def convert_decoder(sd: StateDict, cfg: TextConfig, prefix: str = "model.") -> dict:
+def convert_decoder(
+    sd: StateDict,
+    cfg: TextConfig,
+    prefix: str = "model.",
+    lm_head_key: Optional[str] = None,
+) -> dict:
     """HF LlamaForCausalLM / MistralForCausalLM state dict → decoder params."""
     L = cfg.num_layers
     p = prefix
@@ -88,11 +93,17 @@ def convert_decoder(sd: StateDict, cfg: TextConfig, prefix: str = "model.") -> d
         },
         "final_norm": cast(_to_np(sd[f"{p}norm.weight"])),
     }
-    lm_head_key = "lm_head.weight"
-    # strip the decoder prefix's own parent to find lm_head (it sits beside "model.")
-    parent = prefix.rsplit("model.", 1)[0]
     if not cfg.tie_word_embeddings:
-        params["lm_head"] = cast(_to_np(sd[parent + lm_head_key]).T)
+        if lm_head_key is None:
+            # lm_head sits beside the decoder: model.* → lm_head.weight;
+            # language_model.model.* → language_model.lm_head.weight
+            candidates = [
+                prefix[: -len("model.")] + "lm_head.weight"
+                if prefix.endswith("model.") else prefix + "lm_head.weight",
+                "lm_head.weight",
+            ]
+            lm_head_key = next((c for c in candidates if c in sd), candidates[0])
+        params["lm_head"] = cast(_to_np(sd[lm_head_key]).T)
     return params
 
 
@@ -167,6 +178,61 @@ def convert_leopard_llava(sd: StateDict, cfg: VLMConfig) -> dict:
         "projector": convert_projector(sd, cfg.projector, "multi_modal_projector."),
         "text": convert_decoder(sd, cfg.text, "language_model.model."),
     }
+
+
+def convert_perceiver(
+    sd: StateDict, cfg, prefix: str = "model.connector."
+) -> dict:
+    """HF Idefics2Connector (modality projection + perceiver resampler) →
+    perceiver params."""
+    from leopard_tpu.config import PerceiverConfig  # noqa: F401 (doc)
+
+    L = cfg.num_layers
+    p = prefix
+    dt = jnp.dtype(cfg.dtype)
+
+    def cast(a):
+        return jnp.asarray(a, dtype=dt)
+
+    rp = p + "perceiver_resampler."
+    return {
+        "modality_proj": {
+            "w_gate": cast(_to_np(sd[p + "modality_projection.gate_proj.weight"]).T),
+            "w_up": cast(_to_np(sd[p + "modality_projection.up_proj.weight"]).T),
+            "w_down": cast(_to_np(sd[p + "modality_projection.down_proj.weight"]).T),
+        },
+        "latents": cast(_to_np(sd[rp + "latents"])),
+        "layers": {
+            "latents_norm": cast(_stack(sd, rp + "layers.{i}.input_latents_norm.weight", L)),
+            "context_norm": cast(_stack(sd, rp + "layers.{i}.input_context_norm.weight", L)),
+            "attn": {
+                "wq": cast(_stack(sd, rp + "layers.{i}.self_attn.q_proj.weight", L, transpose=True)),
+                "wk": cast(_stack(sd, rp + "layers.{i}.self_attn.k_proj.weight", L, transpose=True)),
+                "wv": cast(_stack(sd, rp + "layers.{i}.self_attn.v_proj.weight", L, transpose=True)),
+                "wo": cast(_stack(sd, rp + "layers.{i}.self_attn.o_proj.weight", L, transpose=True)),
+            },
+            "post_attn_norm": cast(
+                _stack(sd, rp + "layers.{i}.post_attention_layernorm.weight", L)
+            ),
+            "mlp": {
+                "w_gate": cast(_stack(sd, rp + "layers.{i}.mlp.gate_proj.weight", L, transpose=True)),
+                "w_up": cast(_stack(sd, rp + "layers.{i}.mlp.up_proj.weight", L, transpose=True)),
+                "w_down": cast(_stack(sd, rp + "layers.{i}.mlp.down_proj.weight", L, transpose=True)),
+            },
+        },
+        "final_norm": cast(_to_np(sd[rp + "norm.weight"])),
+    }
+
+
+def convert_leopard_idefics2(sd: StateDict, cfg: VLMConfig) -> dict:
+    """Full Idefics2ForConditionalGeneration HF checkpoint → VLM params."""
+    params = {
+        "vision": convert_siglip_vision(sd, cfg.vision, "model.vision_model."),
+        "perceiver": convert_perceiver(sd, cfg.perceiver, "model.connector."),
+        "text": convert_decoder(sd, cfg.text, "model.text_model."),
+        "projector": {},
+    }
+    return params
 
 
 # ---------------------------------------------------------------------------

@@ -34,7 +34,9 @@ def init_params(cfg: VLMConfig, key: jax.Array) -> dict:
     if cfg.perceiver is not None:
         from leopard_tpu.models import perceiver as perceiver_mod
 
-        params["perceiver"] = perceiver_mod.init_params(cfg.perceiver, key)
+        params["perceiver"] = perceiver_mod.init_params(
+            cfg.perceiver, key, vision_hidden=cfg.vision.hidden_size
+        )
     return params
 
 

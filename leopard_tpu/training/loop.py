@@ -1,0 +1,166 @@
+"""The training loop: orchestration, observability, failure handling.
+
+Role parity with megatron_patch/training.py:486-795 (`train`, `training_log`,
+`evaluate`) — step loop with timers, metrics logging, eval/save intervals,
+SIGTERM checkpoint-and-exit, exit-on-duration, NaN accounting, param-hash
+verification across data-parallel replicas, and profiler windows
+(jax.profiler trace ≙ the reference's cudaProfilerStart/emit_nvtx windows,
+megatron_patch/training.py:555-560).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import signal
+import time
+from typing import Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from leopard_tpu.config import TrainConfig, VLMConfig
+from leopard_tpu.data.dataset import DataState
+from leopard_tpu.training.checkpoint import CheckpointManager
+from leopard_tpu.training.trainer import TrainState
+from leopard_tpu.utils.timers import MetricsLogger, StepTimeTracker, Timers
+
+
+class SignalState:
+    """SIGTERM → checkpoint-and-exit (≙ dist_signal_handler.py + the handler
+    at megatron_patch/training.py:630-636)."""
+
+    def __init__(self):
+        self.triggered = False
+
+    def install(self):
+        def handler(signum, frame):
+            self.triggered = True
+
+        signal.signal(signal.SIGTERM, handler)
+        return self
+
+
+def param_hash(params) -> str:
+    """Deterministic hash of all parameters (host transfer; use sparingly).
+    ≙ check_param_hashes_across_dp_replicas (megatron_patch/training.py:602) —
+    under jit+SPMD, DP replicas share one logical array, so a changed hash
+    across hosts indicates corruption rather than desync."""
+    h = hashlib.sha256()
+    for leaf in jax.tree_util.tree_leaves(params):
+        h.update(np.asarray(jax.device_get(leaf)).tobytes())
+    return h.hexdigest()
+
+
+def train(
+    cfg: VLMConfig,
+    train_cfg: TrainConfig,
+    state: TrainState,
+    step_fn: Callable,                      # jitted train_step(state, batch)
+    batches: Iterable,                      # yields dict batches (device-ready)
+    data_state: Optional[DataState] = None,
+    ckpt: Optional[CheckpointManager] = None,
+    logger: Optional[MetricsLogger] = None,
+    eval_fn: Optional[Callable[[TrainState], dict]] = None,
+    profile_steps: Optional[tuple[int, int]] = None,
+    profile_dir: str = "/tmp/leopard_profile",
+) -> TrainState:
+    timers = Timers()
+    tracker = StepTimeTracker()
+    signals = SignalState().install()
+    start_time = time.time()
+    nan_iters = 0
+    batches = iter(batches)
+
+    step = int(state.step)
+    while step < train_cfg.train_steps:
+        if profile_steps and step == profile_steps[0]:
+            jax.profiler.start_trace(profile_dir)
+
+        with timers("data"):
+            batch = next(batches)
+            if hasattr(batch, "as_dict"):
+                batch = batch.as_dict()
+
+        t0 = time.perf_counter()
+        with timers("step"):
+            state, metrics = step_fn(state, batch)
+            jax.block_until_ready(metrics["loss"])
+        step_time = time.perf_counter() - t0
+        tracker.record(step_time)
+        step = int(state.step)
+
+        if profile_steps and step == profile_steps[1]:
+            jax.profiler.stop_trace()
+
+        if bool(metrics.get("nan_step", False)):
+            nan_iters += 1
+
+        if logger and step % train_cfg.log_interval == 0:
+            row = {
+                "loss": metrics["loss"],
+                "grad_norm": metrics["grad_norm"],
+                "tokens_in_loss": metrics["tokens_in_loss"],
+                "step_time": step_time,
+                "data_time": timers.elapsed("data", reset=True),
+                "nan_iters": nan_iters,
+            }
+            row.update(tracker.report())
+            logger.log(step, row)
+
+        if (
+            train_cfg.check_param_hash_interval
+            and step % train_cfg.check_param_hash_interval == 0
+        ):
+            if logger:
+                logger.log(step, {"param_hash": param_hash(state.params)})
+
+        if eval_fn and train_cfg.eval_interval and step % train_cfg.eval_interval == 0:
+            eval_metrics = eval_fn(state)
+            if logger and eval_metrics:
+                logger.log(step, {f"eval/{k}": v for k, v in eval_metrics.items()})
+
+        should_save = (
+            ckpt is not None
+            and train_cfg.save_interval
+            and step % train_cfg.save_interval == 0
+        )
+        exit_now = signals.triggered or (
+            train_cfg.exit_duration_mins
+            and (time.time() - start_time) / 60 > train_cfg.exit_duration_mins
+        )
+        if ckpt is not None and (should_save or exit_now):
+            ckpt.save(
+                step, state,
+                data_state=data_state.to_dict() if data_state else None,
+            )
+        if exit_now:
+            if ckpt is not None:
+                ckpt.wait_until_finished()
+            break
+
+    if ckpt is not None:
+        ckpt.wait_until_finished()
+    return state
+
+
+def evaluate_loss(
+    state: TrainState,
+    loss_fn: Callable,                # jitted (params, batch) → (loss, aux)
+    batches: Iterable,
+    max_batches: int = 50,
+) -> dict:
+    """Validation loss + perplexity (≙ evaluate_and_print_results,
+    megatron_patch/training.py:757-795)."""
+    losses = []
+    for i, batch in enumerate(batches):
+        if i >= max_batches:
+            break
+        if hasattr(batch, "as_dict"):
+            batch = batch.as_dict()
+        loss, _ = loss_fn(state.params, batch)
+        losses.append(float(loss))
+    if not losses:
+        return {}
+    mean = float(np.mean(losses))
+    return {"loss": mean, "ppl": float(np.exp(min(mean, 20.0)))}

@@ -1,0 +1,158 @@
+"""Data pipeline tests: processor, dataset, collation, resume."""
+
+import json
+import os
+
+import numpy as np
+from PIL import Image
+
+from leopard_tpu import config as cfgs
+from leopard_tpu.data.dataset import (
+    Batch,
+    DataState,
+    JsonlSftDataset,
+    ShardedSampleDataset,
+    TrainDataLoader,
+    collate,
+)
+from leopard_tpu.data.processor import LeopardProcessor, ProcessedSample
+from tests.test_chat import FakeTokenizer
+
+
+def _make_manifest(tmp_path, n=8):
+    img_dir = os.path.join(tmp_path, "imgs")
+    os.makedirs(img_dir, exist_ok=True)
+    rows = []
+    for i in range(n):
+        img = Image.new("RGB", (100 + i * 10, 80), (i * 20 % 255, 0, 0))
+        name = f"im{i}.png"
+        img.save(os.path.join(img_dir, name))
+        rows.append(
+            {
+                "conversations": [
+                    {"from": "human", "value": f"<image> what is {i}?"},
+                    {"from": "gpt", "value": f"it is {i}"},
+                ],
+                "images": [name],
+            }
+        )
+    path = os.path.join(tmp_path, "data.jsonl")
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return path, img_dir
+
+
+def test_jsonl_dataset(tmp_path):
+    path, img_dir = _make_manifest(tmp_path)
+    ds = JsonlSftDataset(path, img_dir)
+    assert len(ds) == 8
+    msgs, images = ds.get(0)
+    assert msgs[0][0] == "user" and msgs[1][0] == "assistant"
+    assert len(images) == 1
+
+
+def test_processor_produces_consistent_sample(tmp_path):
+    cfg = cfgs.tiny_vlm()
+    proc = LeopardProcessor(cfg, FakeTokenizer())
+    img = Image.new("RGB", (120, 90))
+    s = proc.process_chat(
+        [("user", "<image> hi"), ("assistant", "yo")], [img]
+    )
+    assert s is not None
+    n_img = int((s.input_ids == cfg.image_token_id).sum())
+    # tiny cfg: 4 tokens/tile; small image → 0 tiles + original = 4 tokens
+    assert n_img == s.pixel_values.shape[0] * cfg.anyres.tokens_per_tile
+    assert len(s.loss_weights) == len(s.input_ids)
+
+
+def test_processor_rejects_too_many_images():
+    cfg = cfgs.tiny_vlm()  # max_images = 50
+    proc = LeopardProcessor(cfg, FakeTokenizer())
+    imgs = [Image.new("RGB", (50, 50))] * 51
+    assert proc.process_chat([("user", "hi"), ("assistant", "yo")], imgs) is None
+
+
+def test_collate_bucketing():
+    s1 = ProcessedSample(
+        input_ids=np.arange(10, dtype=np.int32),
+        loss_weights=np.ones(10, np.float32),
+        pixel_values=np.zeros((2, 3, 56, 56), np.float32),
+        tiles_per_image=[1],
+    )
+    s2 = ProcessedSample(
+        input_ids=np.arange(300, dtype=np.int32),
+        loss_weights=np.ones(300, np.float32),
+        pixel_values=np.zeros((1, 3, 56, 56), np.float32),
+        tiles_per_image=[0],
+    )
+    batch = collate([s1, s2], seq_buckets=(128, 512), tile_buckets=(4, 8), tile_size=56)
+    assert batch.tokens.shape == (2, 512)
+    assert batch.images.shape == (4, 3, 56, 56)  # 3 tiles → bucket 4
+    assert batch.segment_ids[0, :10].all() and not batch.segment_ids[0, 10:].any()
+
+
+def test_loader_deterministic_and_resumable(tmp_path):
+    path, img_dir = _make_manifest(tmp_path)
+    cfg = cfgs.tiny_vlm()
+    proc = LeopardProcessor(cfg, FakeTokenizer())
+    ds = JsonlSftDataset(path, img_dir)
+
+    def collect(state, n):
+        loader = TrainDataLoader(
+            ds, proc, batch_size=2, seq_len=256, state=state,
+            seq_buckets=(256,), tile_buckets=(4, 8),
+        )
+        it = iter(loader)
+        return [next(it) for _ in range(n)]
+
+    a = collect(DataState(seed=5), 3)
+    b = collect(DataState(seed=5), 3)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x.tokens, y.tokens)
+
+    # resume: consume 1 batch, capture state, continue → equals batches 2..3
+    loader = TrainDataLoader(
+        ds, proc, batch_size=2, seq_len=256, state=DataState(seed=5),
+        seq_buckets=(256,), tile_buckets=(4, 8),
+    )
+    it = iter(loader)
+    next(it)
+    resumed_state = DataState.from_dict(loader.state.to_dict())
+    rest = collect(resumed_state, 2)
+    np.testing.assert_array_equal(rest[0].tokens, a[1].tokens)
+    np.testing.assert_array_equal(rest[1].tokens, a[2].tokens)
+
+
+def test_dp_sharding_disjoint(tmp_path):
+    path, img_dir = _make_manifest(tmp_path)
+    cfg = cfgs.tiny_vlm()
+    proc = LeopardProcessor(cfg, FakeTokenizer())
+    ds = JsonlSftDataset(path, img_dir)
+    orders = []
+    for rank in range(2):
+        loader = TrainDataLoader(
+            ds, proc, batch_size=1, seq_len=256, dp_rank=rank, dp_world=2,
+            state=DataState(seed=3), seq_buckets=(256,), tile_buckets=(4,),
+        )
+        orders.append(set(loader._epoch_order(0).tolist()))
+    assert orders[0].isdisjoint(orders[1])
+    assert len(orders[0] | orders[1]) == 8
+
+
+def test_sharded_sample_dataset(tmp_path):
+    shards = []
+    for si in range(2):
+        p = os.path.join(tmp_path, f"shard{si}.jsonl")
+        with open(p, "w") as f:
+            for j in range(3):
+                f.write(json.dumps({"id": si * 3 + j}) + "\n")
+        shards.append({"path": f"shard{si}.jsonl", "num_samples": 3})
+    spec = os.path.join(tmp_path, "shards.json")
+    with open(spec, "w") as f:
+        json.dump({"shardlist": shards}, f)
+    ds = ShardedSampleDataset(spec)
+    assert len(ds) == 6
+    assert ds.get_raw(0)["id"] == 0
+    assert ds.get_raw(4)["id"] == 4
+    assert ds.get_raw(5)["id"] == 5

@@ -1,0 +1,179 @@
+"""Training step, optimizer, checkpointing, and loop tests (tiny configs)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from leopard_tpu import config as cfgs
+from leopard_tpu.config import OptimizerConfig, TrainConfig
+from leopard_tpu.models import vlm
+from leopard_tpu.training.trainer import (
+    TrainState,
+    cast_for_compute,
+    create_train_state,
+    make_train_step,
+    token_cross_entropy,
+    vlm_loss,
+)
+
+
+def _setup(remat="none"):
+    cfg = cfgs.tiny_vlm()
+    params = vlm.init_params(cfg, jax.random.PRNGKey(0))
+    tcfg = TrainConfig(
+        seq_len=16, global_batch_size=2, remat=remat,
+        optimizer=OptimizerConfig(lr=1e-2, warmup_steps=1, decay_steps=100),
+    )
+    state = create_train_state(params, tcfg)
+    step = jax.jit(make_train_step(cfg, tcfg))
+    return cfg, tcfg, state, step
+
+
+def _batch(cfg, b=2, s=16, with_images=True, seed=0):
+    rng = np.random.RandomState(seed)
+    ids = rng.randint(1, 100, (b, s)).astype(np.int32)
+    images = None
+    if with_images:
+        ids[:, 2:6] = cfg.image_token_id
+        images = jnp.asarray(rng.randn(b, 3, 56, 56), jnp.float32)
+    batch = {
+        "tokens": jnp.asarray(ids),
+        "loss_weights": jnp.ones((b, s), jnp.float32),
+        "segment_ids": jnp.ones((b, s), jnp.int32),
+    }
+    if images is not None:
+        batch["images"] = images
+    return batch
+
+
+def test_token_cross_entropy_matches_manual():
+    logits = jnp.asarray(np.random.RandomState(0).randn(1, 4, 8), jnp.float32)
+    targets = jnp.asarray([[1, 3, 5, 7]], jnp.int32)
+    weights = jnp.asarray([[1.0, 0.0, 1.0, 1.0]])
+    loss, tw = token_cross_entropy(logits, targets, weights)
+    lp = jax.nn.log_softmax(logits, -1)
+    manual = -(lp[0, 0, 1] + lp[0, 2, 5] + lp[0, 3, 7]) / 3
+    np.testing.assert_allclose(float(loss), float(manual), rtol=1e-5)
+    assert float(tw) == 3.0
+
+
+def test_train_step_reduces_loss():
+    cfg, tcfg, state, step = _setup()
+    batch = _batch(cfg)
+    losses = []
+    for _ in range(10):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.9, losses
+    assert int(state.step) == 10
+
+
+def test_train_step_remat_matches_no_remat():
+    cfg, tcfg, state, step = _setup("none")
+    _, _, state_r, step_r = _setup("full")
+    batch = _batch(cfg)
+    s1, m1 = step(state, batch)
+    s2, m2 = step_r(state_r, batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=1e-4
+    )
+
+
+def test_frozen_groups_dont_update():
+    cfg = cfgs.tiny_vlm()
+    params = vlm.init_params(cfg, jax.random.PRNGKey(0))
+    tcfg = TrainConfig(
+        seq_len=16, global_batch_size=2,
+        optimizer=OptimizerConfig(lr=1e-2, warmup_steps=1, decay_steps=100),
+        remat="none",
+    )
+    state = create_train_state(params, tcfg)
+    step = jax.jit(make_train_step(cfg, tcfg, frozen=("vision",)))
+    before = jax.device_get(state.params["vision"])
+    state, _ = step(state, _batch(cfg))  # step 0 has lr=0 (warmup)
+    state, _ = step(state, _batch(cfg))
+    after = jax.device_get(state.params["vision"])
+    for a, b in zip(jax.tree_util.tree_leaves(before), jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(a, b)
+    # text params did move
+    moved = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(
+            lambda a, b: np.abs(a - b).max(),
+            jax.device_get(params["text"]), jax.device_get(state.params["text"]),
+        )
+    )
+    assert max(float(m) for m in moved) > 0
+
+
+def test_loss_ignores_image_and_pad_targets():
+    cfg = cfgs.tiny_vlm()
+    params = vlm.init_params(cfg, jax.random.PRNGKey(0))
+    b = _batch(cfg, with_images=True)
+    # weight everything; vlm_loss must still exclude image-token targets + pads
+    seg = np.ones((2, 16), np.int32)
+    seg[:, -4:] = 0
+    b["segment_ids"] = jnp.asarray(seg)
+    loss, aux = vlm_loss(params, cfg, b, jnp.float32, remat=False)
+    # 15 shifted targets; minus 4 image-token targets (positions 2..5 of
+    # target stream = ids[1:] indices 1..4) minus 4 pad targets... count:
+    ids = np.asarray(b["tokens"])
+    targets = ids[:, 1:]
+    valid = (targets != cfg.image_token_id) & (seg[:, 1:] != 0)
+    assert float(aux["tokens_in_loss"]) == float(valid.sum())
+
+
+def test_nan_step_skips_update():
+    cfg, tcfg, state, step = _setup()
+    batch = _batch(cfg)
+    bad = dict(batch)
+    bad["loss_weights"] = batch["loss_weights"] * jnp.float32(np.nan)
+    before = jax.device_get(state.params["text"]["final_norm"])
+    state2, metrics = step(state, bad)
+    assert bool(metrics["nan_step"])
+    after = jax.device_get(state2.params["text"]["final_norm"])
+    np.testing.assert_array_equal(before, after)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    from leopard_tpu.training.checkpoint import CheckpointManager, abstract_like
+
+    cfg, tcfg, state, step = _setup()
+    state, _ = step(state, _batch(cfg))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), async_save=False)
+    mgr.save(1, state, data_state={"epoch": 0, "cursor": 42, "seed": 1})
+    mgr.wait_until_finished()
+    assert mgr.latest_step() == 1
+
+    template = abstract_like(state)
+    restored, data_state = mgr.restore(template=template)
+    assert data_state["cursor"] == 42
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(state.params)),
+        jax.tree_util.tree_leaves(jax.device_get(restored.params)),
+    ):
+        np.testing.assert_array_equal(a, b)
+    mgr.close()
+
+
+def test_train_loop_smoke(tmp_path):
+    from leopard_tpu.training.loop import train
+    from leopard_tpu.utils.timers import MetricsLogger
+
+    cfg, tcfg, state, step = _setup()
+    import dataclasses
+
+    tcfg = dataclasses.replace(tcfg, train_steps=3, log_interval=1,
+                               save_interval=0, eval_interval=0)
+    batches = iter([_batch(cfg, seed=i) for i in range(5)])
+    logger = MetricsLogger(str(tmp_path))
+    final = train(cfg, tcfg, state, step, batches, logger=logger)
+    assert int(final.step) == 3
+    logger.close()
+    with open(os.path.join(tmp_path, "metrics.jsonl")) as f:
+        rows = f.readlines()
+    assert len(rows) == 3
