@@ -52,14 +52,16 @@ def main():
         logits, _ = vlm.forward(params, cfg, tokens, images=images)
         return logits[:, -1]
 
-    # warmup/compile
-    prefill(params, tokens, images).block_until_ready()
+    # warmup/compile; np.asarray forces a device→host round trip, which is
+    # the only reliable sync through the axon relay (block_until_ready has
+    # been observed to return before execution completes there)
+    np.asarray(prefill(params, tokens, images))
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         out = prefill(params, tokens, images)
-    out.block_until_ready()
+    np.asarray(out)
     dt = (time.perf_counter() - t0) / iters
 
     tok_s = seq / dt

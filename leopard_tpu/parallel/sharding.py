@@ -34,34 +34,34 @@ from leopard_tpu.parallel.mesh import FSDP_AXIS, MODEL_AXIS
 # "text/layers_0/attn/wq" or "vision/layers_3/mlp/fc1".
 DEFAULT_RULES: list[tuple[str, P]] = [
     # --- decoder / encoder attention ---
-    (r".*/attn/wq$", P(None, MODEL_AXIS)),          # [hidden, n_heads*head_dim]
-    (r".*/attn/wk$", P(None, MODEL_AXIS)),
-    (r".*/attn/wv$", P(None, MODEL_AXIS)),
-    (r".*/attn/wo$", P(MODEL_AXIS, None)),          # [n_heads*head_dim, hidden]
-    (r".*/attn/bq$", P(MODEL_AXIS)),
-    (r".*/attn/bk$", P(MODEL_AXIS)),
-    (r".*/attn/bv$", P(MODEL_AXIS)),
-    (r".*/attn/bo$", P(None)),
+    (r"(.*/)?attn/wq$", P(None, MODEL_AXIS)),          # [hidden, n_heads*head_dim]
+    (r"(.*/)?attn/wk$", P(None, MODEL_AXIS)),
+    (r"(.*/)?attn/wv$", P(None, MODEL_AXIS)),
+    (r"(.*/)?attn/wo$", P(MODEL_AXIS, None)),          # [n_heads*head_dim, hidden]
+    (r"(.*/)?attn/bq$", P(MODEL_AXIS)),
+    (r"(.*/)?attn/bk$", P(MODEL_AXIS)),
+    (r"(.*/)?attn/bv$", P(MODEL_AXIS)),
+    (r"(.*/)?attn/bo$", P(None)),
     # --- MLP ---
-    (r".*/mlp/w_gate$", P(None, MODEL_AXIS)),
-    (r".*/mlp/w_up$", P(None, MODEL_AXIS)),
-    (r".*/mlp/w_down$", P(MODEL_AXIS, None)),
-    (r".*/mlp/fc1$", P(None, MODEL_AXIS)),
-    (r".*/mlp/fc2$", P(MODEL_AXIS, None)),
-    (r".*/mlp/b1$", P(MODEL_AXIS)),
-    (r".*/mlp/b2$", P(None)),
+    (r"(.*/)?mlp/w_gate$", P(None, MODEL_AXIS)),
+    (r"(.*/)?mlp/w_up$", P(None, MODEL_AXIS)),
+    (r"(.*/)?mlp/w_down$", P(MODEL_AXIS, None)),
+    (r"(.*/)?mlp/fc1$", P(None, MODEL_AXIS)),
+    (r"(.*/)?mlp/fc2$", P(MODEL_AXIS, None)),
+    (r"(.*/)?mlp/b1$", P(MODEL_AXIS)),
+    (r"(.*/)?mlp/b2$", P(None)),
     # --- MoE experts: expert dim over "expert", then column/row over model ---
-    (r".*/experts/w_gate$", P("expert", None, MODEL_AXIS)),
-    (r".*/experts/w_up$", P("expert", None, MODEL_AXIS)),
-    (r".*/experts/w_down$", P("expert", MODEL_AXIS, None)),
-    (r".*/router/.*$", P()),
+    (r"(.*/)?experts/w_gate$", P("expert", None, MODEL_AXIS)),
+    (r"(.*/)?experts/w_up$", P("expert", None, MODEL_AXIS)),
+    (r"(.*/)?experts/w_down$", P("expert", MODEL_AXIS, None)),
+    (r"(.*/)?router/.*$", P()),
     # --- embeddings / output head: vocab-parallel ---
     (r".*embed_tokens$", P(MODEL_AXIS, None)),
     (r".*lm_head$", P(None, MODEL_AXIS)),
     # --- projector ---
-    (r".*/projector/fc1$", P(None, MODEL_AXIS)),
-    (r".*/projector/fc2$", P(MODEL_AXIS, None)),
-    (r".*/projector/b1$", P(MODEL_AXIS)),
+    (r"(.*/)?projector/fc1$", P(None, MODEL_AXIS)),
+    (r"(.*/)?projector/fc2$", P(MODEL_AXIS, None)),
+    (r"(.*/)?projector/b1$", P(MODEL_AXIS)),
     # --- vision patchify conv + pos embedding: replicated ---
     (r".*patch_embed.*$", P()),
     (r".*pos_embed.*$", P()),

@@ -1,0 +1,123 @@
+"""Chunked attention + Pallas flash attention vs the XLA reference attention.
+
+The Pallas kernel runs in interpreter mode on CPU (pltpu.force_tpu_interpret_mode);
+on TPU the same code compiles with Mosaic.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from leopard_tpu.ops.attention import attention
+from leopard_tpu.ops.chunked_attention import chunked_attention
+
+
+def _rand_qkv(b=2, sq=16, skv=16, hq=4, hkv=2, d=8, seed=0):
+    rng = np.random.RandomState(seed)
+    q = jnp.asarray(rng.randn(b, sq, hq, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, skv, hkv, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, skv, hkv, d), jnp.float32)
+    return q, k, v
+
+
+def test_chunked_matches_reference_causal():
+    q, k, v = _rand_qkv()
+    ref = attention(q, k, v, causal=True)
+    got = chunked_attention(q, k, v, causal=True, chunk_size=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_chunked_matches_reference_segments():
+    q, k, v = _rand_qkv()
+    seg = jnp.asarray(np.array([[1] * 6 + [2] * 6 + [0] * 4, [1] * 16]))
+    ref = attention(q, k, v, causal=True, q_segment_ids=seg, kv_segment_ids=seg)
+    got = chunked_attention(
+        q, k, v, causal=True, q_segment_ids=seg, kv_segment_ids=seg, chunk_size=8
+    )
+    # padding rows are ill-defined (fully masked) — compare valid rows only
+    valid = np.asarray(seg) != 0
+    np.testing.assert_allclose(
+        np.asarray(got)[valid], np.asarray(ref)[valid], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_chunked_sliding_window():
+    q, k, v = _rand_qkv(sq=12, skv=12)
+    ref = attention(q, k, v, causal=True, sliding_window=4)
+    got = chunked_attention(q, k, v, causal=True, sliding_window=4, chunk_size=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_chunked_gradients_match_reference():
+    q, k, v = _rand_qkv(b=1, sq=8, skv=8, hq=2, hkv=1, d=4)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention(q, k, v, causal=True) ** 2)
+
+    def loss_chunked(q, k, v):
+        return jnp.sum(chunked_attention(q, k, v, causal=True, chunk_size=4) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_chk = jax.grad(loss_chunked, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ref, g_chk):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
+@pytest.fixture
+def interpret_mode():
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+def test_flash_forward_matches_reference(interpret_mode):
+    from leopard_tpu.ops.pallas.flash_attention import flash_attention
+
+    q, k, v = _rand_qkv(b=1, sq=16, skv=16, hq=4, hkv=2, d=8)
+    ref = attention(q, k, v, causal=True)
+    got = flash_attention(q, k, v, causal=True, block_q=8, block_k=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_flash_forward_segments(interpret_mode):
+    from leopard_tpu.ops.pallas.flash_attention import flash_attention
+
+    q, k, v = _rand_qkv(b=2, sq=16, skv=16, hq=2, hkv=2, d=8)
+    seg = jnp.asarray(np.array([[1] * 10 + [0] * 6, [1] * 8 + [2] * 8]))
+    ref = attention(q, k, v, causal=True, q_segment_ids=seg, kv_segment_ids=seg)
+    got = flash_attention(
+        q, k, v, causal=True, q_segment_ids=seg, kv_segment_ids=seg,
+        block_q=8, block_k=8,
+    )
+    valid = np.asarray(seg) != 0
+    np.testing.assert_allclose(
+        np.asarray(got)[valid], np.asarray(ref)[valid], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_flash_noncausal(interpret_mode):
+    from leopard_tpu.ops.pallas.flash_attention import flash_attention
+
+    q, k, v = _rand_qkv(b=1, sq=8, skv=16, hq=2, hkv=2, d=8)
+    ref = attention(q, k, v, causal=False)
+    got = flash_attention(q, k, v, causal=False, block_q=8, block_k=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_flash_backward_via_chunked(interpret_mode):
+    from leopard_tpu.ops.pallas.flash_attention import flash_attention
+
+    q, k, v = _rand_qkv(b=1, sq=8, skv=8, hq=2, hkv=1, d=4)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=True, block_q=8, block_k=8) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention(q, k, v, causal=True) ** 2)
+
+    g_f = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)

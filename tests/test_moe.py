@@ -1,0 +1,91 @@
+"""MoE router/dispatch tests, incl. expert-parallel sharding on the CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from leopard_tpu.ops.moe import MoEConfig, init_params, moe_layer
+
+
+def _tiny_cfg(**kw):
+    d = dict(num_experts=4, top_k=2, capacity_factor=2.0,
+             intermediate_size=32, hidden_size=16, dtype="float32")
+    d.update(kw)
+    return MoEConfig(**d)
+
+
+def test_moe_forward_shapes_and_finite():
+    cfg = _tiny_cfg()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 8, 16), jnp.float32)
+    out, aux = moe_layer(params, cfg, x)
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+    assert float(aux["aux_loss"]) > 0
+    assert 0.0 <= float(aux["fraction_dropped"]) <= 1.0
+
+
+def test_moe_matches_dense_when_single_expert():
+    """With 1 expert and top-1, MoE == the expert MLP exactly."""
+    cfg = _tiny_cfg(num_experts=1, top_k=1, capacity_factor=1.0)
+    params = init_params(cfg, jax.random.PRNGKey(1))
+    x = jnp.asarray(np.random.RandomState(1).randn(1, 4, 16), jnp.float32)
+    out, _ = moe_layer(params, cfg, x)
+    w = params["experts"]
+    xt = x.reshape(4, 16)
+    want = (jax.nn.silu(xt @ w["w_gate"][0]) * (xt @ w["w_up"][0])) @ w["w_down"][0]
+    np.testing.assert_allclose(np.asarray(out).reshape(4, 16), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_moe_capacity_drops_tokens():
+    cfg = _tiny_cfg(capacity_factor=0.1)  # tiny capacity → drops
+    params = init_params(cfg, jax.random.PRNGKey(2))
+    x = jnp.asarray(np.random.RandomState(2).randn(2, 16, 16), jnp.float32)
+    _, aux = moe_layer(params, cfg, x)
+    assert float(aux["fraction_dropped"]) > 0
+
+
+def test_moe_differentiable():
+    cfg = _tiny_cfg()
+    params = init_params(cfg, jax.random.PRNGKey(3))
+    x = jnp.asarray(np.random.RandomState(3).randn(1, 8, 16), jnp.float32)
+
+    def loss(p):
+        out, aux = moe_layer(p, cfg, x)
+        return jnp.sum(out**2) + aux["aux_loss"] + aux["z_loss"]
+
+    grads = jax.grad(loss)(params)
+    gnorm = sum(
+        float(jnp.sum(g**2)) for g in jax.tree_util.tree_leaves(grads)
+    )
+    assert gnorm > 0 and np.isfinite(gnorm)
+
+
+def test_moe_expert_parallel_sharding_matches_single_device():
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from leopard_tpu.config import MeshConfig
+    from leopard_tpu.parallel.mesh import build_mesh
+    from leopard_tpu.parallel.sharding import param_shardings
+
+    cfg = _tiny_cfg(num_experts=4)
+    params = init_params(cfg, jax.random.PRNGKey(4))
+    x = jnp.asarray(np.random.RandomState(4).randn(2, 8, 16), jnp.float32)
+    want, _ = moe_layer(params, cfg, x)
+
+    mesh = build_mesh(MeshConfig(data=2, fsdp=1, expert=4, seq=1, model=1))
+    shardings = param_shardings(params, mesh)
+    # expert weights shard over the expert axis per the rules table (the
+    # model axis is size-1 here, so the column sharding is a no-op)
+    assert shardings["experts"]["w_gate"].spec == P("expert", None, "model")
+    sharded = jax.device_put(params, shardings)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None, None)))
+
+    @jax.jit
+    def run(p, x):
+        out, aux = moe_layer(p, cfg, x)
+        return out
+
+    got = run(sharded, xs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
