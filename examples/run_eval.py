@@ -1,0 +1,83 @@
+"""Run the evaluation suite on a Leopard checkpoint.
+
+Entry-point parity with evaluations/models/run_eval_llava_siglip_multiimg.sh
++ llava_multiimg_siglip_anyres.py (shard → score → group_acc → merge):
+
+  python examples/run_eval.py --checkpoint /ckpts/leopard-llava-hf \
+      --datasets docvqa slidevqa --data-root /data/eval \
+      --setting direct --result-dir results/
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--tokenizer", default=None)
+    p.add_argument("--datasets", nargs="+", default=[
+        "mpdocvqa", "dude", "slidevqa", "mirb", "mmmu", "mathvista",
+        "scienceqa", "textvqa", "docvqa", "visualwebbench",
+    ])
+    p.add_argument("--data-root", required=True,
+                   help="directory containing one subdir (or prepared "
+                        "eval_<name>.jsonl) per benchmark")
+    p.add_argument("--setting", default="direct", choices=["direct", "cot", "none"])
+    p.add_argument("--result-dir", default="eval_results")
+    p.add_argument("--shard", type=int, default=0)
+    p.add_argument("--num-shards", type=int, default=1)
+    p.add_argument("--max-samples", type=int, default=0)
+    p.add_argument("--arch", default="leopard_llava",
+                   choices=["leopard_llava", "leopard_idefics2"])
+    args = p.parse_args()
+
+    from leopard_tpu import config as cfgs
+    from leopard_tpu.convert.hf import (
+        convert_leopard_idefics2,
+        convert_leopard_llava,
+        load_hf_state_dict,
+    )
+    from leopard_tpu.data.tokenizer import build_tokenizer
+    from leopard_tpu.evaluation.adapter import LeopardLlavaEvalAdapter
+    from leopard_tpu.evaluation.harness import merge_all_bench_results, merge_shard_files, run_benchmark
+    from leopard_tpu.evaluation.loaders import load_benchmark, write_jsonl
+
+    if args.arch == "leopard_llava":
+        cfg = cfgs.leopard_llava_8b()
+        convert = convert_leopard_llava
+    else:
+        cfg = cfgs.leopard_idefics2_8b()
+        convert = convert_leopard_idefics2
+
+    tokenizer = build_tokenizer(args.tokenizer or args.checkpoint)
+    params = convert(load_hf_state_dict(args.checkpoint), cfg)
+    adapter = LeopardLlavaEvalAdapter(cfg, params, tokenizer)
+
+    os.makedirs(args.result_dir, exist_ok=True)
+    for dataset in args.datasets:
+        root = os.path.join(args.data_root, dataset)
+        rows = load_benchmark(dataset, root)
+        if args.max_samples:
+            rows = rows[: args.max_samples]
+        details = run_benchmark(
+            rows, adapter, dataset, args.setting,
+            shard=args.shard, num_shards=args.num_shards, progress=True,
+        )
+        shard_file = os.path.join(
+            args.result_dir,
+            f"{args.shard}_{args.setting}_{dataset}_shard_details.jsonl",
+        )
+        write_jsonl(shard_file, details)
+        if args.num_shards == 1 or args.shard == 0:
+            report = merge_shard_files(args.result_dir, dataset, args.setting)
+            print(dataset, report)
+
+    if args.shard == 0:
+        print(merge_all_bench_results(args.result_dir))
+
+
+if __name__ == "__main__":
+    main()

@@ -65,9 +65,10 @@ def _decode(params, cfg: VLMConfig, gen_cfg: GenerateConfig, first_logits,
 
     gen_buf = jnp.zeros((b, max_new_tokens), jnp.int32)
     gen_mask0 = jnp.zeros((b, max_new_tokens), jnp.bool_)
+    lp_buf0 = jnp.zeros((b, max_new_tokens), jnp.float32)
 
     def step(carry, i):
-        cache, logits, key, done, gen_buf, gen_mask = carry
+        cache, logits, key, done, gen_buf, gen_mask, lp_buf = carry
         key, sub = jax.random.split(key)
         tok = sample(
             logits, sub, gen_cfg,
@@ -76,27 +77,31 @@ def _decode(params, cfg: VLMConfig, gen_cfg: GenerateConfig, first_logits,
         )
         is_eos = jnp.any(tok[:, None] == eos[None, :], axis=1)
         tok = jnp.where(done, eos[0], tok)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        tok_lp = jnp.take_along_axis(logp, tok[:, None], axis=1)[:, 0]
         gen_buf = gen_buf.at[:, i].set(tok)
         gen_mask = gen_mask.at[:, i].set(~done)
+        lp_buf = lp_buf.at[:, i].set(jnp.where(done, 0.0, tok_lp))
         new_done = done | is_eos
         step_logits, cache = vlm.forward(
             params, cfg, tok[:, None],
             segment_ids=jnp.where(done, 0, 1)[:, None].astype(jnp.int32),
             cache=cache,
         )
-        return (cache, step_logits[:, 0], key, new_done, gen_buf, gen_mask), None
+        return (cache, step_logits[:, 0], key, new_done, gen_buf, gen_mask, lp_buf), None
 
     done0 = jnp.zeros((b,), jnp.bool_)
-    carry = (cache, first_logits, key, done0, gen_buf, gen_mask0)
+    carry = (cache, first_logits, key, done0, gen_buf, gen_mask0, lp_buf0)
     carry, _ = jax.lax.scan(step, carry, jnp.arange(max_new_tokens))
-    _, _, _, _, gen_buf, gen_mask = carry
-    return gen_buf, gen_mask
+    _, _, _, _, gen_buf, gen_mask, lp_buf = carry
+    return gen_buf, gen_mask, lp_buf
 
 
 @dataclasses.dataclass
 class GenerationResult:
     tokens: List[np.ndarray]          # generated ids per row (trimmed at eos)
     prompt_lengths: List[int]
+    logprobs: Optional[List[np.ndarray]] = None  # per-token logprob, same trim
 
 
 class Engine:
@@ -169,19 +174,23 @@ class Engine:
             self.params, self.cfg, jnp.asarray(tokens), jnp.asarray(seg),
             cache, feats,
         )
-        gen_buf, gen_mask = _decode(
+        gen_buf, gen_mask, lp_buf = _decode(
             self.params, self.cfg, gen_cfg, first_logits,
             jnp.asarray(tokens), jnp.asarray(seg), cache,
             jax.random.PRNGKey(gen_cfg.seed), gen_cfg.max_new_tokens,
         )
         gen_buf = np.asarray(gen_buf)
         gen_mask = np.asarray(gen_mask)
-        out = []
+        lp_buf = np.asarray(lp_buf)
+        out, out_lp = [], []
         for i in range(b):
             row = gen_buf[i][gen_mask[i]]
+            lps = lp_buf[i][gen_mask[i]]
             # trim at first eos
             stop = np.isin(row, np.asarray(gen_cfg.eos_token_ids))
             if stop.any():
-                row = row[: int(np.argmax(stop))]
+                n = int(np.argmax(stop))
+                row, lps = row[:n], lps[:n]
             out.append(row)
-        return GenerationResult(tokens=out, prompt_lengths=lengths)
+            out_lp.append(lps)
+        return GenerationResult(tokens=out, prompt_lengths=lengths, logprobs=out_lp)
