@@ -81,6 +81,12 @@ class TextConfig:
     attention_bias: bool = False
     mlp_bias: bool = False
     dtype: str = "bfloat16"
+    # attention implementation: "auto" picks dense XLA attention for short
+    # sequences / cached decode and blockwise chunked attention for long
+    # prefill/training; "dense" | "chunked" | "flash" force one.
+    attn_impl: str = "auto"
+    attn_chunk_size: int = 512
+    long_seq_threshold: int = 2048
 
     @property
     def q_per_kv(self) -> int:

@@ -34,6 +34,15 @@ def _dtype(cfg: TextConfig):
     return jnp.dtype(cfg.dtype)
 
 
+def _pick_chunk(s: int, target: int) -> int:
+    """Largest chunk ≤ target that divides s (bucketed shapes are powers of
+    two, so this is almost always `target` itself)."""
+    c = min(target, s)
+    while s % c:
+        c -= 1
+    return c
+
+
 def init_params(cfg: TextConfig, key: jax.Array) -> dict:
     """Random-init a full decoder param tree (layer-stacked)."""
     k = iter(jax.random.split(key, 16))
@@ -111,6 +120,8 @@ def _layer(
     mask: Optional[jnp.ndarray],
     cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
     cache_index: Optional[jnp.ndarray],
+    attn_impl: str = "dense",
+    segment_ids: Optional[jnp.ndarray] = None,
 ):
     b, s, h = x.shape
     p_attn, p_mlp = layer_params["attn"], layer_params["mlp"]
@@ -135,7 +146,26 @@ def _layer(
         kk, vv = ck, cv
         new_kv = (ck, cv)
 
-    o = attention(q, kk, vv, mask=mask)
+    if attn_impl == "chunked":
+        from leopard_tpu.ops.chunked_attention import chunked_attention
+
+        o = chunked_attention(
+            q, kk, vv, causal=True,
+            q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
+            sliding_window=cfg.sliding_window,
+            chunk_size=_pick_chunk(s, cfg.attn_chunk_size),
+        )
+    elif attn_impl == "flash":
+        from leopard_tpu.ops.pallas.flash_attention import flash_attention
+
+        blk = _pick_chunk(s, cfg.attn_chunk_size)
+        o = flash_attention(
+            q, kk, vv, causal=True,
+            q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
+            block_q=blk, block_k=blk,
+        )
+    else:
+        o = attention(q, kk, vv, mask=mask)
     o = o.reshape(b, s, -1) @ p_attn["wo"]
     x = res + o
 
@@ -172,6 +202,14 @@ def forward(
     inv_freq = jnp.asarray(compute_inv_freq(cfg))
     cos, sin = rope_cos_sin(positions, inv_freq)
 
+    # attention implementation selection: cached decode always uses the dense
+    # (masked) path; long uncached prefill/training uses blockwise attention
+    attn_impl = cfg.attn_impl
+    if cache is not None:
+        attn_impl = "dense"
+    elif attn_impl == "auto":
+        attn_impl = "chunked" if s >= cfg.long_seq_threshold else "dense"
+
     new_seg = None
     new_index = None
     if cache is not None:
@@ -196,13 +234,15 @@ def forward(
             mask = mask & window[:, None]
         mask = mask & (segment_ids != 0)[:, None, :, None]
     else:
-        mask = make_attention_mask(
-            s, s,
-            causal=True,
-            q_segment_ids=segment_ids,
-            kv_segment_ids=segment_ids,
-            sliding_window=cfg.sliding_window,
-        )
+        mask = None
+        if attn_impl == "dense":
+            mask = make_attention_mask(
+                s, s,
+                causal=True,
+                q_segment_ids=segment_ids,
+                kv_segment_ids=segment_ids,
+                sliding_window=cfg.sliding_window,
+            )
 
     stacked = params["layers"]
 
@@ -218,7 +258,10 @@ def forward(
     else:
         def body(carry, lp):
             xs, = carry
-            xs, _ = _layer(xs, lp, cfg, cos, sin, mask, None, None)
+            xs, _ = _layer(
+                xs, lp, cfg, cos, sin, mask, None, None,
+                attn_impl=attn_impl, segment_ids=segment_ids,
+            )
             return (xs,), None
 
         if remat:

@@ -1,0 +1,63 @@
+"""Decoder attention-impl dispatch: dense / chunked / flash produce the same
+logits; auto picks chunked past the long-seq threshold."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from leopard_tpu import config as cfgs
+from leopard_tpu.models import decoder, vlm
+
+
+def _setup():
+    cfg = cfgs.tiny_vlm()
+    params = vlm.init_params(cfg, jax.random.PRNGKey(0))
+    return cfg, params["text"]
+
+
+def test_dense_vs_chunked_logits():
+    cfg, params = _setup()
+    tcfg_dense = dataclasses.replace(cfg.text, attn_impl="dense")
+    tcfg_chunk = dataclasses.replace(cfg.text, attn_impl="chunked", attn_chunk_size=4)
+    ids = np.random.RandomState(0).randint(1, 100, (2, 16)).astype(np.int32)
+    seg = np.ones((2, 16), np.int32)
+    seg[1, 12:] = 0
+    a, _ = decoder.forward(params, tcfg_dense, jnp.asarray(ids),
+                           segment_ids=jnp.asarray(seg))
+    b, _ = decoder.forward(params, tcfg_chunk, jnp.asarray(ids),
+                           segment_ids=jnp.asarray(seg))
+    valid = seg != 0
+    np.testing.assert_allclose(np.asarray(a)[valid], np.asarray(b)[valid],
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_dense_vs_flash_logits():
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg, params = _setup()
+    tcfg_dense = dataclasses.replace(cfg.text, attn_impl="dense")
+    tcfg_flash = dataclasses.replace(cfg.text, attn_impl="flash", attn_chunk_size=8)
+    ids = np.random.RandomState(1).randint(1, 100, (1, 16)).astype(np.int32)
+    a, _ = decoder.forward(params, tcfg_dense, jnp.asarray(ids))
+    with pltpu.force_tpu_interpret_mode():
+        b, _ = decoder.forward(params, tcfg_flash, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+
+
+def test_auto_threshold_uses_chunked_gradients():
+    """Auto mode with low threshold must stay differentiable (remat + scan)."""
+    cfg, params = _setup()
+    tcfg = dataclasses.replace(cfg.text, attn_impl="auto",
+                               long_seq_threshold=8, attn_chunk_size=8)
+    ids = jnp.asarray(np.random.RandomState(2).randint(1, 100, (1, 16)), jnp.int32)
+
+    def loss(p):
+        logits, _ = decoder.forward(p, tcfg, ids, remat=True)
+        return jnp.sum(logits**2)
+
+    g = jax.grad(loss)(params)
+    assert np.isfinite(float(jax.tree_util.tree_reduce(
+        lambda a, b: a + jnp.sum(b**2), g, 0.0)))
