@@ -70,7 +70,12 @@ class LeopardLM:
     def loglikelihood_rolling(self, requests) -> List[float]:
         out = []
         for req in requests:
-            (text,) = req.args if hasattr(req, "args") else (req,)
+            if hasattr(req, "args"):
+                (text,) = req.args
+            elif isinstance(req, tuple):
+                (text,) = req
+            else:
+                text = req
             ids = self.tokenizer(text, add_special_tokens=True)["input_ids"]
             total, _ = self._score(ids[:1], ids[1:])
             out.append(total)
