@@ -49,8 +49,11 @@ def main():
 
     @jax.jit
     def prefill(params, tokens, images):
-        logits, _ = vlm.forward(params, cfg, tokens, images=images)
-        return logits[:, -1]
+        logits, _ = vlm.forward(
+            params, cfg, tokens, images=images,
+            logits_indices=jnp.full((tokens.shape[0],), seq - 1, jnp.int32),
+        )
+        return logits[:, 0]
 
     # warmup/compile; np.asarray forces a device→host round trip, which is
     # the only reliable sync through the axon relay (block_until_ready has

@@ -42,18 +42,17 @@ def _encode_images(params, cfg: VLMConfig, pixel_values, patch_mask=None):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _prefill(params, cfg: VLMConfig, tokens, seg, cache, image_features=None):
-    """Returns (last-position logits [B, V], updated cache)."""
+    """Returns (last-position logits [B, V], updated cache). Unembedding runs
+    only at each row's final valid position (logits_indices)."""
+    lengths = jnp.sum(seg != 0, axis=1)
     logits, cache = vlm.forward(
         params, cfg, tokens,
         image_features=image_features,
         segment_ids=seg,
         cache=cache,
+        logits_indices=jnp.maximum(lengths - 1, 0),
     )
-    lengths = jnp.sum(seg != 0, axis=1)
-    last = jnp.take_along_axis(
-        logits, jnp.maximum(lengths - 1, 0)[:, None, None], axis=1
-    )[:, 0]
-    return last, cache
+    return logits[:, 0], cache
 
 
 @partial(jax.jit, static_argnames=("cfg", "gen_cfg", "max_new_tokens"))

@@ -187,8 +187,11 @@ def forward(
     cache: Optional[KVCache] = None,
     return_hidden: bool = False,
     remat: bool = False,
+    logits_indices: Optional[jnp.ndarray] = None,  # [B] — only these positions
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
-    """Returns (logits [B, S, V] fp32, updated cache or None)."""
+    """Returns (logits [B, S, V] fp32 — or [B, 1, V] when logits_indices is
+    given — and the updated cache or None). Restricting logits to the needed
+    positions skips most of the S×H×V unembedding matmul during prefill."""
     if input_embeds is None:
         input_embeds = jnp.take(params["embed_tokens"], tokens, axis=0)
     x = input_embeds
@@ -275,6 +278,8 @@ def forward(
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     if return_hidden:
         return x, new_cache
+    if logits_indices is not None:
+        x = jnp.take_along_axis(x, logits_indices[:, None, None], axis=1)
     if cfg.tie_word_embeddings:
         logits = x.astype(jnp.float32) @ params["embed_tokens"].T.astype(jnp.float32)
     else:

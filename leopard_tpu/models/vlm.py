@@ -87,6 +87,7 @@ def forward(
     cache: Optional[KVCache] = None,
     image_features: Optional[jnp.ndarray] = None,  # precomputed encode_images
     remat: bool = False,
+    logits_indices: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Full VLM forward → (logits [B, S, V] fp32, updated cache)."""
     embeds = jnp.take(params["text"]["embed_tokens"], jnp.maximum(tokens, 0), axis=0)
@@ -103,4 +104,5 @@ def forward(
         segment_ids=segment_ids,
         cache=cache,
         remat=remat,
+        logits_indices=logits_indices,
     )
