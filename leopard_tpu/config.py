@@ -87,6 +87,13 @@ class TextConfig:
     attn_impl: str = "auto"
     attn_chunk_size: int = 512
     long_seq_threshold: int = 2048
+    # MoE (0 experts = dense MLP). When enabled, every layer's MLP becomes a
+    # top-k routed expert bank (≙ Megatron --moe / MegaBlocks dMoE).
+    num_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_aux_loss_coef: float = 1e-2
+    moe_z_loss_coef: float = 1e-3
 
     @property
     def q_per_kv(self) -> int:

@@ -53,6 +53,24 @@ def init_params(cfg: TextConfig, key: jax.Array) -> dict:
     def dense(key, shape, fan_in):
         return (jax.random.normal(key, shape, jnp.float32) * fan_in**-0.5).astype(dt)
 
+    if cfg.num_experts > 0:
+        e = cfg.num_experts
+        mlp_params = {
+            "router": {"w": (jax.random.normal(next(k), (L, h, e), jnp.float32) * h**-0.5)},
+            "experts": {
+                "w_gate": dense(next(k), (L, e, h, f), h),
+                "w_up": dense(next(k), (L, e, h, f), h),
+                "w_down": dense(next(k), (L, e, f, h), f),
+            },
+        }
+    else:
+        mlp_params = {
+            "mlp": {
+                "w_gate": dense(next(k), (L, h, f), h),
+                "w_up": dense(next(k), (L, h, f), h),
+                "w_down": dense(next(k), (L, f, h), f),
+            },
+        }
     params = {
         "embed_tokens": dense(next(k), (cfg.vocab_size, h), h),
         "layers": {
@@ -64,11 +82,7 @@ def init_params(cfg: TextConfig, key: jax.Array) -> dict:
                 "wo": dense(next(k), (L, qd, h), qd),
             },
             "post_attn_norm": jnp.ones((L, h), dt),
-            "mlp": {
-                "w_gate": dense(next(k), (L, h, f), h),
-                "w_up": dense(next(k), (L, h, f), h),
-                "w_down": dense(next(k), (L, f, h), f),
-            },
+            **mlp_params,
         },
         "final_norm": jnp.ones((h,), dt),
     }
@@ -124,7 +138,7 @@ def _layer(
     segment_ids: Optional[jnp.ndarray] = None,
 ):
     b, s, h = x.shape
-    p_attn, p_mlp = layer_params["attn"], layer_params["mlp"]
+    p_attn = layer_params["attn"]
 
     res = x
     y = rms_norm(x, layer_params["input_norm"], cfg.rms_norm_eps)
@@ -171,9 +185,28 @@ def _layer(
 
     res = x
     y = rms_norm(x, layer_params["post_attn_norm"], cfg.rms_norm_eps)
-    gated = jax.nn.silu(y @ p_mlp["w_gate"]) * (y @ p_mlp["w_up"])
-    x = res + gated @ p_mlp["w_down"]
-    return x, new_kv
+    moe_aux = None
+    if cfg.num_experts > 0:
+        from leopard_tpu.ops.moe import MoEConfig, moe_layer
+
+        moe_cfg = MoEConfig(
+            num_experts=cfg.num_experts, top_k=cfg.moe_top_k,
+            capacity_factor=cfg.moe_capacity_factor,
+            aux_loss_coef=cfg.moe_aux_loss_coef,
+            z_loss_coef=cfg.moe_z_loss_coef,
+            intermediate_size=cfg.intermediate_size, hidden_size=h,
+            dtype=cfg.dtype,
+        )
+        out, moe_aux = moe_layer(
+            {"router": layer_params["router"], "experts": layer_params["experts"]},
+            moe_cfg, y,
+        )
+        x = res + out
+    else:
+        p_mlp = layer_params["mlp"]
+        gated = jax.nn.silu(y @ p_mlp["w_gate"]) * (y @ p_mlp["w_up"])
+        x = res + gated @ p_mlp["w_down"]
+    return x, new_kv, moe_aux
 
 
 def forward(
@@ -188,6 +221,7 @@ def forward(
     return_hidden: bool = False,
     remat: bool = False,
     logits_indices: Optional[jnp.ndarray] = None,  # [B] — only these positions
+    return_aux: bool = False,                      # also return MoE aux losses
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Returns (logits [B, S, V] fp32 — or [B, 1, V] when logits_indices is
     given — and the updated cache or None). Restricting logits to the needed
@@ -249,30 +283,37 @@ def forward(
 
     stacked = params["layers"]
 
+    moe_aux_total = {"aux_loss": jnp.zeros((), jnp.float32),
+                     "z_loss": jnp.zeros((), jnp.float32)}
     if cache is not None:
         def body(carry, per_layer):
             xs, = carry
             lp, ck, cv = per_layer
-            xs, new_kv = _layer(xs, lp, cfg, cos, sin, mask, (ck, cv), cache.index)
+            xs, new_kv, _ = _layer(xs, lp, cfg, cos, sin, mask, (ck, cv), cache.index)
             return (xs,), new_kv
 
         (x,), new_kvs = jax.lax.scan(body, (x,), (stacked, cache.k, cache.v))
         new_cache = KVCache(k=new_kvs[0], v=new_kvs[1], seg=new_seg, index=new_index)
     else:
         def body(carry, lp):
-            xs, = carry
-            xs, _ = _layer(
+            xs, aux = carry
+            xs, _, moe_aux = _layer(
                 xs, lp, cfg, cos, sin, mask, None, None,
                 attn_impl=attn_impl, segment_ids=segment_ids,
             )
-            return (xs,), None
+            if moe_aux is not None:
+                aux = {
+                    "aux_loss": aux["aux_loss"] + moe_aux["aux_loss"],
+                    "z_loss": aux["z_loss"] + moe_aux["z_loss"],
+                }
+            return (xs, aux), None
 
         if remat:
             # full recompute per layer ≙ the reference's --recompute-granularity
             # full --recompute-method uniform --recompute-num-layers 1
             # (train_multiimg_llava_siglip.sh:96-100)
             body = jax.checkpoint(body, prevent_cse=False)
-        (x,), _ = jax.lax.scan(body, (x,), stacked)
+        (x, moe_aux_total), _ = jax.lax.scan(body, (x, moe_aux_total), stacked)
         new_cache = None
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
@@ -284,4 +325,6 @@ def forward(
         logits = x.astype(jnp.float32) @ params["embed_tokens"].T.astype(jnp.float32)
     else:
         logits = x.astype(jnp.float32) @ params["lm_head"].astype(jnp.float32)
+    if return_aux:
+        return logits, new_cache, moe_aux_total
     return logits, new_cache

@@ -88,6 +88,7 @@ def forward(
     image_features: Optional[jnp.ndarray] = None,  # precomputed encode_images
     remat: bool = False,
     logits_indices: Optional[jnp.ndarray] = None,
+    return_aux: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Full VLM forward → (logits [B, S, V] fp32, updated cache)."""
     embeds = jnp.take(params["text"]["embed_tokens"], jnp.maximum(tokens, 0), axis=0)
@@ -105,4 +106,5 @@ def forward(
         cache=cache,
         remat=remat,
         logits_indices=logits_indices,
+        return_aux=return_aux,
     )

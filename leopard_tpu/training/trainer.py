@@ -120,7 +120,8 @@ def vlm_loss(
     and padding positions carry weight 0 (≙ loss masking in
     examples/llava/pretrain_megatron_llava.py:101-121)."""
     p = cast_for_compute(params, compute_dtype)
-    logits, _ = vlm.forward(
+    moe = cfg.text.num_experts > 0
+    out = vlm.forward(
         p, cfg,
         batch["tokens"],
         images=batch.get("images"),
@@ -128,7 +129,10 @@ def vlm_loss(
         positions=batch.get("positions"),
         segment_ids=batch.get("segment_ids"),
         remat=remat,
+        return_aux=moe,
     )
+    logits = out[0]
+    moe_aux = out[2] if moe else None
     shifted_logits = logits[:, :-1]
     targets = batch["tokens"][:, 1:]
     weights = batch["loss_weights"][:, 1:].astype(jnp.float32)
@@ -137,7 +141,12 @@ def vlm_loss(
     if "segment_ids" in batch and batch["segment_ids"] is not None:
         weights = weights * (batch["segment_ids"][:, 1:] != 0)
     loss, total_w = token_cross_entropy(shifted_logits, targets, weights)
-    return loss, {"loss": loss, "tokens_in_loss": total_w}
+    metrics = {"loss": loss, "tokens_in_loss": total_w}
+    if moe_aux is not None:
+        loss = loss + moe_aux["aux_loss"] + moe_aux["z_loss"]
+        metrics["moe_aux_loss"] = moe_aux["aux_loss"]
+        metrics["moe_z_loss"] = moe_aux["z_loss"]
+    return loss, metrics
 
 
 def make_train_step(cfg: VLMConfig, train_cfg: TrainConfig, frozen=()):

@@ -89,3 +89,43 @@ def test_moe_expert_parallel_sharding_matches_single_device():
 
     got = run(sharded, xs)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_moe_decoder_end_to_end():
+    """Decoder with num_experts>0: forward + train step converge."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from leopard_tpu import config as cfgs
+    from leopard_tpu.config import OptimizerConfig, TrainConfig
+    from leopard_tpu.models import decoder, vlm
+    from leopard_tpu.training.trainer import create_train_state, make_train_step
+
+    cfg = cfgs.tiny_vlm()
+    text = dataclasses.replace(cfg.text, num_experts=4, moe_top_k=2)
+    cfg = dataclasses.replace(cfg, text=text)
+    params = vlm.init_params(cfg, jax.random.PRNGKey(0))
+    assert "experts" in params["text"]["layers"]
+
+    ids = jnp.asarray(np.random.RandomState(0).randint(1, 100, (2, 8)), jnp.int32)
+    logits, _, aux = decoder.forward(params["text"], text, ids, return_aux=True)
+    assert logits.shape == (2, 8, cfg.text.vocab_size)
+    assert float(aux["aux_loss"]) > 0
+
+    tcfg = TrainConfig(seq_len=8, global_batch_size=2, remat="none",
+                       optimizer=OptimizerConfig(lr=1e-2, warmup_steps=1, decay_steps=50))
+    state = create_train_state(params, tcfg)
+    step = jax.jit(make_train_step(cfg, tcfg))
+    batch = {
+        "tokens": ids,
+        "loss_weights": jnp.ones((2, 8), jnp.float32),
+        "segment_ids": jnp.ones((2, 8), jnp.int32),
+    }
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    assert "moe_aux_loss" in metrics
