@@ -240,12 +240,18 @@ def forward(
     cos, sin = rope_cos_sin(positions, inv_freq)
 
     # attention implementation selection: cached decode always uses the dense
-    # (masked) path; long uncached prefill/training uses blockwise attention
+    # (masked) path; long uncached prefill/training uses the Pallas flash
+    # kernel on TPU (measured ~1.3× dense at 4k on v5e) and blockwise chunked
+    # attention elsewhere (flash needs Mosaic; CPU runs it only interpreted)
     attn_impl = cfg.attn_impl
     if cache is not None:
         attn_impl = "dense"
     elif attn_impl == "auto":
-        attn_impl = "chunked" if s >= cfg.long_seq_threshold else "dense"
+        if s >= cfg.long_seq_threshold:
+            on_tpu = jax.devices()[0].platform == "tpu"
+            attn_impl = "flash" if on_tpu else "chunked"
+        else:
+            attn_impl = "dense"
 
     new_seg = None
     new_index = None
