@@ -41,20 +41,22 @@ def main():
         load_hf_state_dict,
     )
     from leopard_tpu.data.tokenizer import build_tokenizer
-    from leopard_tpu.evaluation.adapter import LeopardLlavaEvalAdapter
+    from leopard_tpu.evaluation.adapter import (
+        LeopardIdefics2EvalAdapter,
+        LeopardLlavaEvalAdapter,
+    )
     from leopard_tpu.evaluation.harness import merge_all_bench_results, merge_shard_files, run_benchmark
     from leopard_tpu.evaluation.loaders import load_benchmark, write_jsonl
 
+    tokenizer = build_tokenizer(args.tokenizer or args.checkpoint)
     if args.arch == "leopard_llava":
         cfg = cfgs.leopard_llava_8b()
-        convert = convert_leopard_llava
+        params = convert_leopard_llava(load_hf_state_dict(args.checkpoint), cfg)
+        adapter = LeopardLlavaEvalAdapter(cfg, params, tokenizer)
     else:
         cfg = cfgs.leopard_idefics2_8b()
-        convert = convert_leopard_idefics2
-
-    tokenizer = build_tokenizer(args.tokenizer or args.checkpoint)
-    params = convert(load_hf_state_dict(args.checkpoint), cfg)
-    adapter = LeopardLlavaEvalAdapter(cfg, params, tokenizer)
+        params = convert_leopard_idefics2(load_hf_state_dict(args.checkpoint), cfg)
+        adapter = LeopardIdefics2EvalAdapter(cfg, params, tokenizer)
 
     os.makedirs(args.result_dir, exist_ok=True)
     for dataset in args.datasets:

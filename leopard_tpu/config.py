@@ -36,8 +36,17 @@ class VisionConfig:
     patch_size: int = 14
     num_channels: int = 3
     layer_norm_eps: float = 1e-6
-    hidden_act: str = "gelu_pytorch_tanh"
+    hidden_act: str = "gelu_pytorch_tanh"  # or "quick_gelu" (CLIP)
     dtype: str = "bfloat16"
+    # CLIP-style options (legacy clip-vit-large-patch14-336 tower,
+    # megatron_patch/model/llava/clip_encoder.py:74-315)
+    use_class_token: bool = False
+    pre_ln: bool = False      # CLIP applies a LayerNorm before the encoder
+    patch_bias: bool = True   # CLIP's patchify conv has no bias
+    drop_class_token: bool = True  # feature-select "default": drop CLS output
+    post_ln_sequence: bool = True  # SigLIP norms the sequence; CLIP only the
+                                   # pooled CLS (sequence output is un-normed)
+    feature_layer: int = -1   # -2 = penultimate (LLaVA's CLIP feature select)
 
     @property
     def head_dim(self) -> int:
@@ -254,6 +263,44 @@ def siglip_so400m_14_364() -> VisionConfig:
 
 def llama3_1_8b() -> TextConfig:
     return TextConfig()
+
+
+def llama2_7b() -> TextConfig:
+    """Llama-2-7B (legacy text family, megatron_patch/model/llama2/)."""
+    return TextConfig(
+        vocab_size=32000,
+        hidden_size=4096,
+        intermediate_size=11008,
+        num_layers=32,
+        num_heads=32,
+        num_kv_heads=32,
+        head_dim=128,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+        rope_scaling=None,
+        max_position_embeddings=4096,
+    )
+
+
+def clip_vit_large_336() -> VisionConfig:
+    """clip-vit-large-patch14-336 tower (legacy CLIP path, 576 tokens/image;
+    clip_encoder.py:74-315 — feature layer -2, CLS dropped)."""
+    return VisionConfig(
+        hidden_size=1024,
+        intermediate_size=4096,
+        num_layers=24,
+        num_heads=16,
+        image_size=336,
+        patch_size=14,
+        layer_norm_eps=1e-5,
+        hidden_act="quick_gelu",
+        use_class_token=True,
+        pre_ln=True,
+        patch_bias=False,
+        drop_class_token=True,
+        post_ln_sequence=False,
+        feature_layer=-2,
+    )
 
 
 def mistral_7b() -> TextConfig:

@@ -159,6 +159,61 @@ def convert_siglip_vision(
     }
 
 
+def convert_clip_vision(
+    sd: StateDict, cfg: VisionConfig, prefix: str = "vision_model."
+) -> dict:
+    """HF CLIPVisionModel state dict → vision params (class token, pre-LN,
+    quick-GELU; the legacy clip-vit-large-patch14-336 tower,
+    clip_encoder.py:74-315)."""
+    L = cfg.num_layers
+    p = prefix
+    dt = jnp.dtype(cfg.dtype)
+
+    def cast(a):
+        return jnp.asarray(a, dtype=dt)
+
+    conv_w = _to_np(sd[f"{p}embeddings.patch_embedding.weight"])
+    h = conv_w.shape[0]
+    kernel = conv_w.reshape(h, -1).T
+
+    def lyr(name, transpose=False):
+        return cast(_stack(sd, p + "encoder.layers.{i}." + name, L, transpose=transpose))
+
+    return {
+        "patch_embed": {"kernel": cast(kernel)},
+        "class_embed": cast(_to_np(sd[f"{p}embeddings.class_embedding"])),
+        "pos_embed": cast(_to_np(sd[f"{p}embeddings.position_embedding.weight"])),
+        "pre_ln": {
+            "scale": cast(_to_np(sd[f"{p}pre_layrnorm.weight"])),
+            "bias": cast(_to_np(sd[f"{p}pre_layrnorm.bias"])),
+        },
+        "layers": {
+            "ln1": {"scale": lyr("layer_norm1.weight"), "bias": lyr("layer_norm1.bias")},
+            "attn": {
+                "wq": lyr("self_attn.q_proj.weight", transpose=True),
+                "bq": lyr("self_attn.q_proj.bias"),
+                "wk": lyr("self_attn.k_proj.weight", transpose=True),
+                "bk": lyr("self_attn.k_proj.bias"),
+                "wv": lyr("self_attn.v_proj.weight", transpose=True),
+                "bv": lyr("self_attn.v_proj.bias"),
+                "wo": lyr("self_attn.out_proj.weight", transpose=True),
+                "bo": lyr("self_attn.out_proj.bias"),
+            },
+            "ln2": {"scale": lyr("layer_norm2.weight"), "bias": lyr("layer_norm2.bias")},
+            "mlp": {
+                "fc1": lyr("mlp.fc1.weight", transpose=True),
+                "b1": lyr("mlp.fc1.bias"),
+                "fc2": lyr("mlp.fc2.weight", transpose=True),
+                "b2": lyr("mlp.fc2.bias"),
+            },
+        },
+        "post_ln": {
+            "scale": cast(_to_np(sd[f"{p}post_layernorm.weight"])),
+            "bias": cast(_to_np(sd[f"{p}post_layernorm.bias"])),
+        },
+    }
+
+
 def convert_projector(
     sd: StateDict, cfg: ProjectorConfig, prefix: str = "multi_modal_projector."
 ) -> dict:

@@ -115,6 +115,20 @@ def resize_and_pad(
     return canvas
 
 
+def expand2square(
+    image: Image.Image, background_color: Tuple[int, int, int]
+) -> Image.Image:
+    """Pad to square with a background color (the 'pad' image-aspect-ratio
+    mode, mm_pretrain_dataset.py:269-283 / mm_utils.py expand2square)."""
+    w, h = image.size
+    if w == h:
+        return image
+    side = max(w, h)
+    canvas = Image.new(image.mode, (side, side), background_color)
+    canvas.paste(image, ((side - w) // 2, (side - h) // 2))
+    return canvas
+
+
 def divide_to_patches(image: Image.Image, tile_size: int) -> List[Image.Image]:
     """Row-major tile_size×tile_size crops."""
     tiles = []

@@ -52,6 +52,10 @@ class ChatSample:
     input_ids: np.ndarray        # [S] int32 — image positions hold image_token_id
     labels: np.ndarray           # [S] int32 (== input_ids; masking via weights)
     loss_weights: np.ndarray     # [S] float32 — 1.0 on answer tokens
+    preferences: np.ndarray      # [S] int32 — 0 on context, 2 on answer tokens
+                                 # (the `preferences` stream of
+                                 # mm_pretrain_dataset.py:841-854, reserved
+                                 # for preference-weighted objectives)
     num_image_tokens: int
 
 
@@ -135,6 +139,7 @@ def build_llama3_chat(
     remaining = list(tiles_per_image)
     ids: List[int] = [tokenizer.bos_token_id or BEGIN_OF_TEXT]
     weights: List[float] = [0.0]
+    prefs: List[int] = [0]
     for role, content in messages:
         head = _encode(tokenizer, f"<|start_header_id|>{role}<|end_header_id|>\n\n")
         n_here = content.count(IMAGE_PLACEHOLDER)
@@ -150,17 +155,53 @@ def build_llama3_chat(
         ids += head + tail
         is_answer = role in ANSWER_LOSS_START_ROLES
         weights += [0.0] * len(head) + [1.0 if is_answer else 0.0] * len(tail)
+        prefs += [0] * len(head) + [2 if is_answer else 0] * len(tail)
     if add_generation_prompt:
         gen = _encode(tokenizer, "<|start_header_id|>assistant<|end_header_id|>\n\n")
         ids += gen
         weights += [0.0] * len(gen)
+        prefs += [0] * len(gen)
     arr = np.asarray(ids, np.int32)
     return ChatSample(
         input_ids=arr,
         labels=arr.copy(),
         loss_weights=np.asarray(weights, np.float32),
+        preferences=np.asarray(prefs, np.int32),
         num_image_tokens=int((arr == image_token_id).sum()),
     )
+
+
+def build_idefics2_prompt(
+    tokenizer,
+    text: str,
+    n_images: int,
+    image_seq_len: int = 64,
+    image_token_id: int = 32001,
+    fake_token_id: int = 32000,
+    add_bos: bool = True,
+) -> np.ndarray:
+    """Idefics2 prompt: each <image> placeholder expands to
+    `<fake_token_around_image><image>×seq_len<fake_token_around_image>`, with
+    adjacent images sharing one boundary token (HF Idefics2Processor
+    semantics; the reference's eval adapter rides the HF processor,
+    evaluations/models/idefics2_multiimg.py:22-70)."""
+    count = text.count(IMAGE_PLACEHOLDER)
+    if count < n_images:
+        text = IMAGE_PLACEHOLDER * (n_images - count) + text
+    # collapse adjacent placeholders so boundaries are shared
+    parts = text.split(IMAGE_PLACEHOLDER)
+    ids: List[int] = []
+    if add_bos and tokenizer.bos_token_id is not None:
+        ids.append(tokenizer.bos_token_id)
+    for i, part in enumerate(parts):
+        if i > 0:
+            if not ids or ids[-1] != fake_token_id:
+                ids.append(fake_token_id)
+            ids += [image_token_id] * image_seq_len
+            ids.append(fake_token_id)
+        if part:
+            ids += _encode(tokenizer, part)
+    return np.asarray(ids, np.int32)
 
 
 def build_eval_prompt(

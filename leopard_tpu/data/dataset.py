@@ -110,14 +110,19 @@ class Batch:
     loss_weights: np.ndarray   # [B, S]
     segment_ids: np.ndarray    # [B, S]
     images: np.ndarray         # [N_tiles_bucket, 3, T, T]
+    positions: Optional[np.ndarray] = None  # [B, S] — per-sample RoPE
+                                            # positions (packed batches)
 
     def as_dict(self):
-        return {
+        d = {
             "tokens": self.tokens,
             "loss_weights": self.loss_weights,
             "segment_ids": self.segment_ids,
             "images": self.images,
         }
+        if self.positions is not None:
+            d["positions"] = self.positions
+        return d
 
 
 def collate(
@@ -153,6 +158,60 @@ def collate(
     return Batch(tokens=tokens, loss_weights=weights, segment_ids=seg, images=all_tiles)
 
 
+def collate_packed(
+    samples: Sequence[ProcessedSample],
+    seq_len: int,
+    tile_buckets: Sequence[int] = (4, 8, 16, 32, 64, 128),
+    tile_size: int = 364,
+) -> Batch:
+    """Sequence-packed collation: FFD-pack samples into bins of `seq_len`
+    tokens (native packer), one bin per batch row, with per-sample segment
+    ids so attention never crosses samples (≙ the role flash-attn varlen
+    cu_seqlens play in the reference; the reference itself never packs —
+    this recovers the padding waste of variable_seq_lengths batches).
+
+    Image tiles are concatenated in (bin, within-bin) order, matching the
+    order image tokens appear in the flattened token stream that the splice
+    gather consumes."""
+    lengths = np.asarray([s.seq_len for s in samples], np.int32)
+    bin_ids, n_bins = native.pack_sequences_ffd(lengths, seq_len)
+    order = np.argsort(-lengths, kind="stable")  # FFD assignment order
+    per_bin: List[List[int]] = [[] for _ in range(n_bins)]
+    for idx in order:
+        b = int(bin_ids[idx])
+        if b >= 0:
+            per_bin[b].append(int(idx))
+
+    tokens = np.zeros((n_bins, seq_len), np.int32)
+    weights = np.zeros((n_bins, seq_len), np.float32)
+    seg = np.zeros((n_bins, seq_len), np.int32)
+    positions = np.zeros((n_bins, seq_len), np.int32)
+    tiles = []
+    for b, members in enumerate(per_bin):
+        cursor = 0
+        for si, idx in enumerate(members, start=1):
+            s = samples[idx]
+            n = s.seq_len
+            tokens[b, cursor : cursor + n] = s.input_ids
+            weights[b, cursor : cursor + n] = s.loss_weights
+            seg[b, cursor : cursor + n] = si
+            positions[b, cursor : cursor + n] = np.arange(n)  # RoPE restarts
+            cursor += n
+            tiles.append(s.pixel_values)
+    all_tiles = (
+        np.concatenate(tiles, 0)
+        if tiles and sum(t.shape[0] for t in tiles)
+        else np.zeros((0, 3, tile_size, tile_size), np.float32)
+    )
+    n_tiles = all_tiles.shape[0]
+    t_bkt = next((t for t in sorted(tile_buckets) if n_tiles <= t), n_tiles)
+    if t_bkt != n_tiles:
+        pad = np.zeros((t_bkt - n_tiles,) + all_tiles.shape[1:], all_tiles.dtype)
+        all_tiles = np.concatenate([all_tiles, pad], 0)
+    return Batch(tokens=tokens, loss_weights=weights, segment_ids=seg,
+                 images=all_tiles, positions=positions)
+
+
 class TrainDataLoader:
     """Deterministic, resumable, DP-sharded loader over an SFT dataset.
 
@@ -172,6 +231,7 @@ class TrainDataLoader:
         state: Optional[DataState] = None,
         seq_buckets: Sequence[int] = (512, 1024, 2048, 4096, 8192, 16384),
         tile_buckets: Sequence[int] = (4, 8, 16, 32, 64, 128),
+        pack: bool = False,
     ):
         self.ds = dataset
         self.proc = processor
@@ -182,31 +242,85 @@ class TrainDataLoader:
         self.state = state or DataState()
         self.seq_buckets = [b for b in seq_buckets if b <= seq_len] or [seq_len]
         self.tile_buckets = tile_buckets
+        self.pack = pack
 
     def _epoch_order(self, epoch: int) -> np.ndarray:
         order = native.shuffle_indices(len(self.ds), seed=self.state.seed + epoch)
         return order[self.dp_rank :: self.dp_world]
 
-    def __iter__(self) -> Iterator[Batch]:
+    def _samples(self) -> Iterator[ProcessedSample]:
+        """Endless stream of valid processed samples in deterministic order.
+        Raises if a full epoch yields nothing (every sample rejected) instead
+        of spinning forever."""
         while True:
             order = self._epoch_order(self.state.epoch)
+            yielded = 0
             while self.state.cursor < len(order):
-                batch_samples: List[ProcessedSample] = []
-                while (
-                    len(batch_samples) < self.batch_size
-                    and self.state.cursor < len(order)
-                ):
-                    idx = int(order[self.state.cursor])
-                    self.state.cursor += 1
-                    msgs, images = self.ds.get(idx)
-                    sample = self.proc.process_chat(msgs, images)
-                    if sample is None or sample.seq_len > self.seq_len:
-                        continue
-                    batch_samples.append(sample)
-                if len(batch_samples) == self.batch_size:
-                    yield collate(
-                        batch_samples, self.seq_buckets, self.tile_buckets,
-                        tile_size=self.proc.cfg.anyres.tile_size,
-                    )
+                idx = int(order[self.state.cursor])
+                self.state.cursor += 1
+                msgs, images = self.ds.get(idx)
+                sample = self.proc.process_chat(msgs, images)
+                if sample is None or sample.seq_len > self.seq_len:
+                    continue
+                yielded += 1
+                yield sample
+            if self.state.cursor >= len(order) and yielded == 0:
+                raise RuntimeError(
+                    f"epoch {self.state.epoch}: every sample was rejected "
+                    f"(too long for seq_len={self.seq_len} or guard-filtered)"
+                )
             self.state.epoch += 1
             self.state.cursor = 0
+
+    def __iter__(self) -> Iterator[Batch]:
+        stream = self._samples()
+        tile_size = self.proc.cfg.anyres.tile_size
+        if not self.pack:
+            while True:
+                batch_samples = [next(stream) for _ in range(self.batch_size)]
+                yield collate(
+                    batch_samples, self.seq_buckets, self.tile_buckets,
+                    tile_size=tile_size,
+                )
+        else:
+            # sequence packing: fill until the token mass covers the batch,
+            # pack with FFD, emit exactly batch_size bins (short bins are
+            # zero rows; leftover bins carry into the next batch)
+            carry: List[ProcessedSample] = []
+            while True:
+                buf = carry
+                carry = []
+                budget = self.batch_size * self.seq_len
+                total = sum(s.seq_len for s in buf)
+                while total < budget * 0.92:
+                    s = next(stream)
+                    buf.append(s)
+                    total += s.seq_len
+                batch = collate_packed(buf, self.seq_len, self.tile_buckets,
+                                       tile_size=tile_size)
+                n_bins = batch.tokens.shape[0]
+                if n_bins > self.batch_size:
+                    # give the overflow bins' samples back to the next batch
+                    keep, overflow = self._split_by_bins(buf, self.batch_size)
+                    carry = overflow
+                    batch = collate_packed(keep, self.seq_len, self.tile_buckets,
+                                           tile_size=tile_size)
+                    n_bins = batch.tokens.shape[0]
+                if n_bins < self.batch_size:
+                    pad = self.batch_size - n_bins
+                    batch = Batch(
+                        tokens=np.concatenate([batch.tokens, np.zeros((pad, self.seq_len), np.int32)]),
+                        loss_weights=np.concatenate([batch.loss_weights, np.zeros((pad, self.seq_len), np.float32)]),
+                        segment_ids=np.concatenate([batch.segment_ids, np.zeros((pad, self.seq_len), np.int32)]),
+                        images=batch.images,
+                        positions=np.concatenate([batch.positions, np.zeros((pad, self.seq_len), np.int32)]),
+                    )
+                yield batch
+
+    def _split_by_bins(self, samples: List[ProcessedSample], max_bins: int):
+        """Partition samples into (fits in first max_bins bins, overflow)."""
+        lengths = np.asarray([s.seq_len for s in samples], np.int32)
+        bin_ids, _ = native.pack_sequences_ffd(lengths, self.seq_len)
+        keep = [s for s, b in zip(samples, bin_ids) if 0 <= b < max_bins]
+        overflow = [s for s, b in zip(samples, bin_ids) if b >= max_bins]
+        return keep, overflow

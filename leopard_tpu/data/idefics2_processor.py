@@ -17,6 +17,37 @@ from PIL import Image
 
 IDEFICS2_MEAN = (0.48145466, 0.4578275, 0.40821073)
 IDEFICS2_STD = (0.26862954, 0.26130258, 0.27577711)
+END_OF_UTTERANCE_ID = 32002  # <end_of_utterance> in the Idefics2 tokenizer
+
+
+def answer_loss_mask(
+    input_ids: np.ndarray,
+    eou_id: int = END_OF_UTTERANCE_ID,
+    assistant_prefix_len: int = 6,
+) -> np.ndarray:
+    """Loss weights for Idefics2 SFT.
+
+    Behavioral spec: get_answer_mask
+    (megatron_patch/data/idefics2/mm_pretrain_dataset.py:381-404): each odd
+    <end_of_utterance> opens an assistant turn; loss covers from
+    `start + 6` (skipping the "<eou>\\nAssistant:" token prefix) through the
+    closing (even) <end_of_utterance> inclusive; a trailing unclosed turn
+    (truncation) extends to the end of the sequence.
+    """
+    n = len(input_ids)
+    mask = np.zeros(n, np.float32)
+    count = 0
+    start = -1
+    for i in range(n):
+        if input_ids[i] == eou_id:
+            count += 1
+            if count % 2 == 1:
+                start = i
+            else:
+                mask[min(start + assistant_prefix_len, n - 1) : i + 1] = 1.0
+    if count % 2 == 1:
+        mask[min(start + assistant_prefix_len, n - 1) :] = 1.0
+    return mask
 
 
 def resize_for_navit(

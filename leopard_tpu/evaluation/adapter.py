@@ -74,3 +74,49 @@ class LeopardLlavaEvalAdapter:
         return self.tokenizer.decode(
             result.tokens[0].tolist(), skip_special_tokens=True
         )
+
+
+class LeopardIdefics2EvalAdapter:
+    """Idefics2 path: NaViT padded preprocessing + perceiver latents, ≤8
+    images, fp16-class decode (≙ evaluations/models/idefics2_multiimg.py:22-70)."""
+
+    def __init__(self, cfg: VLMConfig, params, tokenizer,
+                 gen_cfg: Optional[GenerateConfig] = None, max_images: int = 8):
+        from leopard_tpu.data.idefics2_processor import preprocess_idefics2
+
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.max_images = max_images
+        eos = tokenizer.convert_tokens_to_ids("<end_of_utterance>")
+        self.gen_cfg = gen_cfg or GenerateConfig(
+            max_new_tokens=128, greedy=True,
+            eos_token_ids=tuple(t for t in (tokenizer.eos_token_id, eos) if t),
+        )
+        self.engine = Engine(cfg, params, self.gen_cfg)
+        self._preprocess = preprocess_idefics2
+
+    def __call__(self, row: dict, instruction: str) -> str:
+        from leopard_tpu.data.chat import build_idefics2_prompt
+
+        images = [
+            Image.open(p).convert("RGB")
+            for p in row["images_path"][: self.max_images]
+        ]
+        pixels, _, patch_mask = self._preprocess(images)
+        question = row["question"]
+        if row.get("concated_options"):
+            question = f"{question}{row['concated_options']}"
+        text = f"User:{question}\n{instruction}<end_of_utterance>\nAssistant:"
+        prompt = build_idefics2_prompt(
+            self.tokenizer, text, len(images),
+            image_seq_len=self.cfg.perceiver.num_latents if self.cfg.perceiver else 64,
+            image_token_id=self.cfg.image_token_id,
+            fake_token_id=self.cfg.image_token_id - 1,
+        )
+        result = self.engine.generate(
+            [prompt], images=pixels, patch_mask=patch_mask, gen_cfg=self.gen_cfg
+        )
+        return self.tokenizer.decode(
+            result.tokens[0].tolist(), skip_special_tokens=True
+        )

@@ -37,14 +37,20 @@ def init_params(cfg: VisionConfig, key: jax.Array) -> dict:
     def dense(key, shape, fan_in):
         return (jax.random.normal(key, shape, jnp.float32) * fan_in**-0.5).astype(dt)
 
-    n_pos = cfg.patches_per_side**2
+    n_pos = cfg.patches_per_side**2 + (1 if cfg.use_class_token else 0)
+    params_extra = {}
+    if cfg.use_class_token:
+        params_extra["class_embed"] = dense(next(k), (h,), h)
+    if cfg.pre_ln:
+        params_extra["pre_ln"] = {"scale": jnp.ones((h,), dt), "bias": jnp.zeros((h,), dt)}
     return {
         # [patch_size*patch_size*3, hidden]: unfolded patch → embedding GEMM
         "patch_embed": {
             "kernel": dense(next(k), (p * p * cfg.num_channels, h), p * p * 3),
-            "bias": jnp.zeros((h,), dt),
+            **({"bias": jnp.zeros((h,), dt)} if cfg.patch_bias else {}),
         },
         "pos_embed": dense(next(k), (n_pos, h), h),
+        **params_extra,
         "layers": {
             "ln1": {"scale": jnp.ones((L, h), dt), "bias": jnp.zeros((L, h), dt)},
             "attn": {
@@ -122,15 +128,30 @@ def forward(
     nph, npw = pixel_values.shape[2] // p, pixel_values.shape[3] // p
 
     x = patchify(pixel_values.astype(_dtype(cfg)), p)
-    x = x @ params["patch_embed"]["kernel"] + params["patch_embed"]["bias"]
+    x = x @ params["patch_embed"]["kernel"]
+    if "bias" in params["patch_embed"]:
+        x = x + params["patch_embed"]["bias"]
 
+    cls_offset = 1 if cfg.use_class_token else 0
     if patch_mask is not None:
-        pos_ids = navit_position_ids(patch_mask, cfg.patches_per_side)
+        pos_ids = navit_position_ids(patch_mask, cfg.patches_per_side) + cls_offset
         seg = patch_mask.reshape(b, -1).astype(jnp.int32)
     else:
-        pos_ids = jnp.broadcast_to(jnp.arange(nph * npw, dtype=jnp.int32), (b, nph * npw))
+        pos_ids = jnp.broadcast_to(
+            jnp.arange(cls_offset, nph * npw + cls_offset, dtype=jnp.int32),
+            (b, nph * npw),
+        )
         seg = None
     x = x + jnp.take(params["pos_embed"], pos_ids, axis=0)
+    if cfg.use_class_token:
+        cls = params["class_embed"][None, None, :] + params["pos_embed"][0]
+        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, x.shape[-1])).astype(x.dtype), x], axis=1)
+        if seg is not None:
+            seg = jnp.concatenate([jnp.ones((b, 1), jnp.int32), seg], axis=1)
+    if cfg.pre_ln:
+        x = layer_norm(
+            x, params["pre_ln"]["scale"], params["pre_ln"]["bias"], cfg.layer_norm_eps
+        )
 
     def body(carry, lp):
         (h,) = carry
@@ -144,11 +165,25 @@ def forward(
         h = res + (o.reshape(b, s, -1) @ lp["attn"]["wo"] + lp["attn"]["bo"])
         res = h
         y = layer_norm(h, lp["ln2"]["scale"], lp["ln2"]["bias"], cfg.layer_norm_eps)
-        y = jax.nn.gelu(y @ lp["mlp"]["fc1"] + lp["mlp"]["b1"], approximate=True)
+        y = y @ lp["mlp"]["fc1"] + lp["mlp"]["b1"]
+        if cfg.hidden_act == "quick_gelu":
+            y = y * jax.nn.sigmoid(1.702 * y)
+        else:
+            y = jax.nn.gelu(y, approximate=True)
         h = res + (y @ lp["mlp"]["fc2"] + lp["mlp"]["b2"])
         return (h,), None
 
-    (x,), _ = jax.lax.scan(body, (x,), params["layers"])
-    return layer_norm(
-        x, params["post_ln"]["scale"], params["post_ln"]["bias"], cfg.layer_norm_eps
-    )
+    layers = params["layers"]
+    if cfg.feature_layer != -1:
+        # stop at an earlier layer (CLIP/LLaVA feature select, e.g. -2)
+        eff = cfg.num_layers + 1 + cfg.feature_layer
+        layers = jax.tree_util.tree_map(lambda a: a[:eff], layers)
+    (x,), _ = jax.lax.scan(body, (x,), layers)
+    if cfg.post_ln_sequence:
+        x = layer_norm(
+            x, params["post_ln"]["scale"], params["post_ln"]["bias"],
+            cfg.layer_norm_eps,
+        )
+    if cfg.use_class_token and cfg.drop_class_token:
+        x = x[:, 1:]
+    return x

@@ -156,3 +156,79 @@ def test_sharded_sample_dataset(tmp_path):
     assert ds.get_raw(0)["id"] == 0
     assert ds.get_raw(4)["id"] == 4
     assert ds.get_raw(5)["id"] == 5
+
+
+def test_collate_packed_segments_and_positions():
+    from leopard_tpu.data.dataset import collate_packed
+
+    def mk(n, tok0, ntiles=0):
+        return ProcessedSample(
+            input_ids=np.arange(tok0, tok0 + n, dtype=np.int32),
+            loss_weights=np.ones(n, np.float32),
+            pixel_values=np.zeros((ntiles, 3, 56, 56), np.float32),
+            tiles_per_image=[0] * ntiles,
+        )
+
+    samples = [mk(10, 0), mk(6, 100), mk(4, 200)]
+    batch = collate_packed(samples, seq_len=16, tile_buckets=(4,), tile_size=56)
+    # 10+6 fits one bin; 4 in another → 2 bins
+    assert batch.tokens.shape == (2, 16)
+    # first bin: sample 0 (longest first) then sample of length 6
+    assert batch.segment_ids[0, 0] == 1 and batch.segment_ids[0, 10] == 2
+    np.testing.assert_array_equal(batch.positions[0, :10], np.arange(10))
+    np.testing.assert_array_equal(batch.positions[0, 10:16], np.arange(6))
+    np.testing.assert_array_equal(batch.tokens[0, 10:16], np.arange(100, 106))
+    # second bin: remaining 4-token sample, rest padding (seg 0)
+    assert batch.segment_ids[1, 0] == 1 and batch.segment_ids[1, 4] == 0
+
+
+def test_packed_loader_yields_fixed_batches(tmp_path):
+    path, img_dir = _make_manifest(tmp_path)
+    cfg = cfgs.tiny_vlm()
+    proc = LeopardProcessor(cfg, FakeTokenizer())
+    ds = JsonlSftDataset(path, img_dir)
+    loader = TrainDataLoader(
+        ds, proc, batch_size=2, seq_len=128, state=DataState(seed=1),
+        seq_buckets=(128,), tile_buckets=(4, 8), pack=True,
+    )
+    it = iter(loader)
+    for _ in range(3):
+        b = next(it)
+        assert b.tokens.shape == (2, 128)
+        assert b.positions is not None
+        # at least one row has >1 segment (packing happened) across batches
+    # packed batches include multiple samples per row on average
+    b = next(it)
+    assert b.segment_ids.max() >= 1
+
+
+def test_packed_loss_boundaries_are_masked():
+    """Cross-sample next-token predictions carry zero weight because each
+    sample's first token (BOS) has loss weight 0."""
+    import jax
+    import jax.numpy as jnp
+
+    from leopard_tpu.data.dataset import collate_packed
+    from leopard_tpu.training.trainer import vlm_loss
+
+    cfg = cfgs.tiny_vlm()
+    from leopard_tpu.models import vlm as vlm_mod
+
+    params = vlm_mod.init_params(cfg, jax.random.PRNGKey(0))
+
+    def mk(n, tok0):
+        w = np.ones(n, np.float32)
+        w[0] = 0.0  # BOS
+        return ProcessedSample(
+            input_ids=np.arange(tok0, tok0 + n, dtype=np.int32) % 100 + 1,
+            loss_weights=w,
+            pixel_values=np.zeros((0, 3, 56, 56), np.float32),
+            tiles_per_image=[],
+        )
+
+    batch = collate_packed([mk(8, 0), mk(8, 50)], seq_len=16, tile_buckets=(4,), tile_size=56)
+    d = batch.as_dict()
+    d = {k: jnp.asarray(v) for k, v in d.items() if k != "images"}
+    loss, aux = vlm_loss(params, cfg, d, jnp.float32, remat=False)
+    # 2 samples × (8-1 non-bos) = 14 weighted targets
+    assert float(aux["tokens_in_loss"]) == 14.0

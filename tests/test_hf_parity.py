@@ -241,3 +241,33 @@ def test_export_roundtrip(tiny_llama):
     a, _ = decoder.forward(params, cfg, tokens)
     b, _ = decoder.forward(params2, cfg, tokens)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_clip_vision_parity():
+    """CLIP tower (class token, pre-LN, quick-GELU, feature layer -2, drop
+    CLS) vs HF CLIPVisionModel hidden_states[-2][:, 1:]."""
+    from transformers import CLIPVisionConfig, CLIPVisionModel
+
+    torch.manual_seed(5)
+    hf_cfg = CLIPVisionConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=3,
+        num_attention_heads=4, image_size=56, patch_size=14,
+        attn_implementation="eager",
+    )
+    model = CLIPVisionModel(hf_cfg).eval()
+    cfg = cfgs.VisionConfig(
+        hidden_size=64, intermediate_size=128, num_layers=3, num_heads=4,
+        image_size=56, patch_size=14, layer_norm_eps=hf_cfg.layer_norm_eps,
+        hidden_act="quick_gelu", use_class_token=True, pre_ln=True,
+        patch_bias=False, drop_class_token=True, post_ln_sequence=False,
+        feature_layer=-2, dtype="float32",
+    )
+    params = convert_hf.convert_clip_vision(model.state_dict(), cfg, "vision_model.")
+    pixels = np.random.RandomState(7).randn(2, 3, 56, 56).astype(np.float32)
+    with torch.no_grad():
+        hs = model(torch.tensor(pixels), output_hidden_states=True).hidden_states
+        want = hs[-2][:, 1:].numpy()  # penultimate layer, drop CLS
+    from leopard_tpu.models import siglip
+
+    got = np.asarray(siglip.forward(params, cfg, jnp.asarray(pixels)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

@@ -134,3 +134,42 @@ def test_idefics2_vlm_forward():
     logits, _ = vlm.forward(params, cfg, jnp.asarray(tokens), images=images)
     assert logits.shape == (1, 6, cfg.text.vocab_size)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_build_idefics2_prompt():
+    from leopard_tpu.data.chat import build_idefics2_prompt
+
+    class Tok:
+        bos_token_id = 1
+
+        def __call__(self, text, add_special_tokens=False):
+            return {"input_ids": [ord(c) % 100 + 100 for c in text]}
+
+    ids = build_idefics2_prompt(Tok(), "<image><image> hi", 2,
+                                image_seq_len=3, image_token_id=900,
+                                fake_token_id=800)
+    ids = ids.tolist()
+    # bos, fake, 3×img, fake(shared), 3×img, fake, text
+    assert ids[0] == 1
+    assert ids[1] == 800
+    assert ids[2:5] == [900] * 3
+    assert ids[5] == 800  # shared boundary (not doubled)
+    assert ids[6:9] == [900] * 3
+    assert ids[9] == 800
+    assert ids.count(800) == 3
+
+
+def test_answer_loss_mask():
+    from leopard_tpu.data.idefics2_processor import answer_loss_mask
+
+    eou = 32002
+    # [q q q EOU p p p p p p a a EOU]
+    ids = np.array([5, 6, 7, eou, 1, 2, 3, 4, 5, 6, 9, 9, eou])
+    mask = answer_loss_mask(ids, eou)
+    # answer span starts at start+6 = index 9, runs through closing EOU
+    assert mask[:9].sum() == 0
+    np.testing.assert_array_equal(mask[9:], 1.0)
+    # truncated answer: odd count extends to end
+    ids2 = np.array([5, eou, 0, 0, 0, 0, 0, 0, 8, 8])
+    mask2 = answer_loss_mask(ids2, eou)
+    assert mask2[7:].sum() == 3.0
