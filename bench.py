@@ -28,6 +28,11 @@ BASELINE_CPU_TOK_S = 21.06
 
 def main():
     import jax
+
+    # persistent compile cache: repeat bench runs skip the multi-minute
+    # Mosaic/XLA compile through the axon tunnel
+    jax.config.update("jax_compilation_cache_dir", "/tmp/leopard_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
 
     from __graft_entry__ import _flagship_single_chip_cfg
@@ -68,6 +73,30 @@ def main():
     dt = (time.perf_counter() - t0) / iters
 
     tok_s = seq / dt
+
+    # secondary metrics (stderr; the driver consumes only the stdout line)
+    import sys
+
+    from leopard_tpu.models import siglip as siglip_mod
+
+    @jax.jit
+    def encode(params, images):
+        # scalar reduction: keeps the device→host sync tiny so the timing
+        # measures encode compute, not the 25MB feature transfer
+        return siglip_mod.forward(params["vision"], cfg.vision, images).sum()
+
+    np.asarray(encode(params, images))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out2 = encode(params, images)
+    np.asarray(out2)
+    enc_dt = (time.perf_counter() - t0) / iters
+    print(
+        f"secondary: encoder {n_tiles / enc_dt:.1f} images/s; "
+        f"prefill TTFT {dt * 1e3:.1f} ms ({n_tiles} tiles, {seq} tok)",
+        file=sys.stderr,
+    )
+
     result = {
         "metric": "multiimg_prefill_tok_s_chip",
         "value": round(tok_s, 1),
