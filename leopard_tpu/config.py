@@ -47,6 +47,8 @@ class VisionConfig:
     post_ln_sequence: bool = True  # SigLIP norms the sequence; CLIP only the
                                    # pooled CLS (sequence output is un-normed)
     feature_layer: int = -1   # -2 = penultimate (LLaVA's CLIP feature select)
+    attn_impl: str = "auto"   # "auto": Pallas flash on TPU (seq padded to
+                              # ×128 with segment masking), dense elsewhere
 
     @property
     def head_dim(self) -> int:

@@ -113,8 +113,19 @@ class Engine:
         gen_cfg: Optional[GenerateConfig] = None,
         seq_buckets: Sequence[int] = (256, 512, 1024, 2048, 4096, 8192, 16384),
         tile_buckets: Sequence[int] = (1, 2, 4, 8, 16, 32, 64),
+        mesh=None,
     ):
+        """When `mesh` is given, params are placed by the sharding rules
+        (tensor-parallel serving over the "model" axis, batch over "data")
+        and the KV cache shards its head dim — multi-chip inference with the
+        same code path (≙ the reference's TP=8 generation,
+        megatron_patch/generation/)."""
         self.cfg = cfg
+        self.mesh = mesh
+        if mesh is not None:
+            from leopard_tpu.parallel.sharding import shard_params
+
+            params = shard_params(params, mesh)
         self.params = params
         self.gen_cfg = gen_cfg or GenerateConfig()
         self.seq_buckets = sorted(seq_buckets)

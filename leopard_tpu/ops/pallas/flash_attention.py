@@ -42,6 +42,7 @@ def _flash_kernel(
     block_q: int,
     block_k: int,
 ):
+    bb = pl.program_id(0)
     iq = pl.program_id(2)
     ik = pl.program_id(3)
     n_k = pl.num_programs(3)
@@ -70,8 +71,10 @@ def _flash_kernel(
 
         q_ids = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
         k_ids = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        qseg = q_seg_ref[0].reshape(block_q, 1)
-        kseg = kv_seg_ref[0].reshape(1, block_k)
+        # seg blocks carry the full batch dim (TPU tiling: a (1, block) int32
+        # block is illegal for batch > 1); pick this program's row
+        qseg = q_seg_ref[bb].reshape(block_q, 1)
+        kseg = kv_seg_ref[bb].reshape(1, block_k)
         mask = (qseg == kseg) & (qseg != 0) & (kseg != 0)
         if causal:
             mask = mask & (q_ids >= k_ids)
@@ -130,9 +133,9 @@ def _flash_forward(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q), lambda bb, h, iq, ik: (bb, iq),
+            pl.BlockSpec((b, block_q), lambda bb, h, iq, ik: (0, iq),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k), lambda bb, h, iq, ik: (bb, ik),
+            pl.BlockSpec((b, block_k), lambda bb, h, iq, ik: (0, ik),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_q, d), lambda bb, h, iq, ik: (bb, h, iq, 0),
                          memory_space=pltpu.VMEM),

@@ -121,3 +121,38 @@ def test_flash_backward_via_chunked(interpret_mode):
     g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_f, g_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
+def test_flash_batch_gt1_segments(interpret_mode):
+    """Regression: segment-id BlockSpecs must be legal for batch > 1 (the
+    (1, block) int32 block violated TPU tiling)."""
+    from leopard_tpu.ops.pallas.flash_attention import flash_attention
+
+    q, k, v = _rand_qkv(b=4, sq=16, skv=16, hq=2, hkv=2, d=8, seed=9)
+    seg = jnp.asarray(np.tile([[1] * 12 + [0] * 4], (4, 1)))
+    ref = attention(q, k, v, causal=False, q_segment_ids=seg, kv_segment_ids=seg)
+    got = flash_attention(q, k, v, causal=False, q_segment_ids=seg,
+                          kv_segment_ids=seg, block_q=8, block_k=8)
+    valid = np.asarray(seg) != 0
+    np.testing.assert_allclose(
+        np.asarray(got)[valid], np.asarray(ref)[valid], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_vision_flash_padding_matches_dense(interpret_mode):
+    """SigLIP tower with attn_impl=flash (padded seq + segment masking) must
+    match the dense path."""
+    import dataclasses
+
+    from leopard_tpu import config as cfgs
+    from leopard_tpu.models import siglip
+
+    cfg = cfgs.VisionConfig(
+        hidden_size=32, intermediate_size=64, num_layers=2, num_heads=4,
+        image_size=42, patch_size=14, dtype="float32",  # 3×3=9 patches → pad 128
+    )
+    params = siglip.init_params(cfg, jax.random.PRNGKey(0))
+    pixels = jnp.asarray(np.random.RandomState(0).randn(2, 3, 42, 42), jnp.float32)
+    dense = siglip.forward(params, dataclasses.replace(cfg, attn_impl="dense"), pixels)
+    flash = siglip.forward(params, dataclasses.replace(cfg, attn_impl="flash"), pixels)
+    np.testing.assert_allclose(np.asarray(flash), np.asarray(dense), rtol=2e-4, atol=2e-4)
