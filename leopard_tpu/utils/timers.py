@@ -105,19 +105,27 @@ class StepTimeTracker:
     straggler-detection signal (≙ StragglerDetector,
     Megatron-LM-240603/megatron/core/utils.py:514; on TPU there is no per-rank
     kernel timing, so wall-clock step time + device sync time per host is the
-    equivalent observable)."""
+    equivalent observable). Like the reference, reporting can be toggled at
+    runtime over a TCP port (core/README_STRAGGLER.md): connect and send
+    "on"/"off"/"status"."""
 
-    def __init__(self, window: int = 100):
+    def __init__(self, window: int = 100, toggle_port: Optional[int] = None):
         self.window = window
         self.times: list[float] = []
+        self.enabled = True
+        self._server = None
+        if toggle_port is not None:
+            self._start_toggle_server(toggle_port)
 
     def record(self, seconds: float) -> None:
+        if not self.enabled:
+            return
         self.times.append(seconds)
         if len(self.times) > self.window:
             self.times.pop(0)
 
     def report(self) -> Dict[str, float]:
-        if not self.times:
+        if not self.times or not self.enabled:
             return {}
         import statistics
 
@@ -127,3 +135,28 @@ class StepTimeTracker:
             "step_time_max": max(self.times),
             "step_time_p50": statistics.median(self.times),
         }
+
+    def _start_toggle_server(self, port: int) -> None:
+        import socket
+        import threading
+
+        def serve():
+            srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            srv.bind(("127.0.0.1", port))
+            srv.listen(4)
+            self._server = srv
+            while True:
+                conn, _ = srv.accept()
+                with conn:
+                    cmd = conn.recv(64).decode().strip().lower()
+                    if cmd == "on":
+                        self.enabled = True
+                    elif cmd == "off":
+                        self.enabled = False
+                        self.times.clear()
+                    conn.sendall(
+                        f"straggler-tracking {'on' if self.enabled else 'off'}\n".encode()
+                    )
+
+        threading.Thread(target=serve, daemon=True).start()

@@ -131,3 +131,29 @@ def test_server_handler_roundtrip():
     assert len(out["text"]) == 1
     assert len(out["tokens"][0]) == 3
     assert len(out["logprobs"][0]) == 3
+
+
+def test_straggler_toggle_server():
+    import socket
+    import time as _t
+
+    from leopard_tpu.utils.timers import StepTimeTracker
+
+    tracker = StepTimeTracker(toggle_port=5713)
+    _t.sleep(0.3)
+    tracker.record(0.1)
+    assert tracker.report()
+
+    def send(cmd):
+        s = socket.create_connection(("127.0.0.1", 5713), timeout=5)
+        s.sendall(cmd.encode())
+        out = s.recv(64).decode()
+        s.close()
+        return out
+
+    assert "off" in send("off")
+    tracker.record(0.2)
+    assert tracker.report() == {}
+    assert "on" in send("on")
+    tracker.record(0.3)
+    assert tracker.report()["step_time_mean"] > 0

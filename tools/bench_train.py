@@ -15,6 +15,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(seq=2048, n_tiles=8, steps=5):
+    import dataclasses
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/leopard_jax_cache")
@@ -27,6 +29,11 @@ def main(seq=2048, n_tiles=8, steps=5):
     from leopard_tpu.training.trainer import create_train_state, make_train_step
 
     cfg = _flagship_single_chip_cfg()
+    # single-chip training budget: fp32 masters + two Adam moments need ~12
+    # bytes/param — halve the decoder depth so state fits 16GB HBM
+    cfg = dataclasses.replace(
+        cfg, text=dataclasses.replace(cfg.text, num_layers=8)
+    )
     train_cfg = TrainConfig(
         seq_len=seq, global_batch_size=1, remat="full",
         optimizer=OptimizerConfig(lr=1e-5, warmup_steps=10, decay_steps=1000),
