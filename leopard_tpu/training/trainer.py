@@ -59,6 +59,13 @@ def lr_schedule(cfg: OptimizerConfig):
     return lambda step: cfg.lr
 
 
+def _decay_mask(params):
+    """Weight decay only on matrix weights — norms scales, biases, and other
+    1-D params are exempt (Megatron's get_param_groups wd_mult=0 for
+    norms/biases)."""
+    return jax.tree_util.tree_map(lambda p: p.ndim >= 2, params)
+
+
 def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
     chain = []
     if cfg.grad_clip > 0:
@@ -70,6 +77,7 @@ def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
             b2=cfg.beta2,
             eps=cfg.eps,
             weight_decay=cfg.weight_decay,
+            mask=_decay_mask if cfg.weight_decay > 0 else None,
         )
     )
     return optax.chain(*chain)
@@ -149,22 +157,63 @@ def vlm_loss(
     return loss, metrics
 
 
-def make_train_step(cfg: VLMConfig, train_cfg: TrainConfig, frozen=()):
+def make_train_step(cfg: VLMConfig, train_cfg: TrainConfig, frozen=(),
+                    grad_accum_steps: int = 1):
     """Returns train_step(state, batch) → (state, metrics); jit it with the
     caller's shardings. `frozen` names top-level param groups to freeze
     (≙ --freeze-clip-vision-tower / --freeze-llm / --freeze-perceiver,
-    megatron_patch/arguments.py:236-244)."""
+    megatron_patch/arguments.py:236-244). `grad_accum_steps` > 1 splits the
+    batch's leading dim into microbatches and accumulates gradients under a
+    lax.scan (≙ the micro/global-batch split of train_step,
+    megatron_patch/training.py:204; peak activation memory is one
+    microbatch)."""
     tx = make_optimizer(train_cfg.optimizer)
     remat = train_cfg.remat != "none"
     compute_dtype = jnp.dtype(cfg.text.dtype)
 
     def train_step(state: TrainState, batch: dict):
-        def loss_fn(params):
-            return vlm_loss(params, cfg, batch, compute_dtype, remat)
+        def loss_fn(params, mb):
+            return vlm_loss(params, cfg, mb, compute_dtype, remat)
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        if grad_accum_steps <= 1:
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch
+            )
+        else:
+            # token-stream arrays split on the leading batch dim; images (if
+            # any) must already be stacked per microbatch [A, T, 3, H, W] so
+            # each microbatch's splice sees exactly its own tiles
+            def split(v):
+                b = v.shape[0]
+                assert b % grad_accum_steps == 0, (
+                    f"batch {b} not divisible by grad_accum_steps={grad_accum_steps}"
+                )
+                return v.reshape(grad_accum_steps, b // grad_accum_steps, *v.shape[1:])
+
+            micro = {
+                k: (v if k == "images" else split(v)) for k, v in batch.items()
+            }
+            if "images" in micro:
+                assert micro["images"].ndim == 5 and (
+                    micro["images"].shape[0] == grad_accum_steps
+                ), "with grad accumulation, pass images as [accum, tiles, 3, H, W]"
+
+            def accum(carry, mb):
+                g_acc, loss_acc, tw_acc = carry
+                (l, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params, mb
+                )
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                return (g_acc, loss_acc + l, tw_acc + aux["tokens_in_loss"]), None
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (grads, loss_sum, tw), _ = jax.lax.scan(
+                accum, (zeros, jnp.zeros(()), jnp.zeros(())), micro
+            )
+            inv = 1.0 / grad_accum_steps
+            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+            loss = loss_sum * inv
+            metrics = {"loss": loss, "tokens_in_loss": tw}
         if frozen:
             grads = {
                 k: (jax.tree_util.tree_map(jnp.zeros_like, v) if k in frozen else v)

@@ -177,3 +177,46 @@ def test_train_loop_smoke(tmp_path):
     with open(os.path.join(tmp_path, "metrics.jsonl")) as f:
         rows = f.readlines()
     assert len(rows) == 3
+
+
+def test_grad_accumulation_matches_full_batch():
+    """accum=2 over a 4-row text batch == single 4-row step (same grads →
+    same updated params)."""
+    import dataclasses
+
+    cfg = cfgs.tiny_vlm()
+    tcfg = TrainConfig(
+        seq_len=16, global_batch_size=4, remat="none",
+        optimizer=OptimizerConfig(lr=1e-2, warmup_steps=0, decay_steps=100,
+                                  grad_clip=0.0),
+    )
+    params = vlm.init_params(cfg, jax.random.PRNGKey(0))
+    batch = _batch(cfg, b=4, with_images=False, seed=7)
+
+    s1 = create_train_state(params, tcfg)
+    step_full = jax.jit(make_train_step(cfg, tcfg))
+    s1, m1 = step_full(s1, batch)
+
+    s2 = create_train_state(params, tcfg)
+    step_accum = jax.jit(make_train_step(cfg, tcfg, grad_accum_steps=2))
+    s2, m2 = step_accum(s2, batch)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(s1.params)),
+        jax.tree_util.tree_leaves(jax.device_get(s2.params)),
+    ):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_weight_decay_skips_norms():
+    import optax
+
+    from leopard_tpu.training.trainer import _decay_mask
+
+    cfg = cfgs.tiny_vlm()
+    params = vlm.init_params(cfg, jax.random.PRNGKey(0))
+    mask = _decay_mask(params["text"])
+    assert mask["layers"]["attn"]["wq"] is True
+    assert mask["layers"]["input_norm"] is False
+    assert mask["final_norm"] is False
