@@ -60,10 +60,23 @@ def lr_schedule(cfg: OptimizerConfig):
 
 
 def _decay_mask(params):
-    """Weight decay only on matrix weights — norms scales, biases, and other
-    1-D params are exempt (Megatron's get_param_groups wd_mult=0 for
-    norms/biases)."""
-    return jax.tree_util.tree_map(lambda p: p.ndim >= 2, params)
+    """Weight decay only on matrix weights — norm scales, biases, and other
+    vector params are exempt (Megatron's get_param_groups wd_mult=0 for
+    norms/biases). Layer-stacked params carry a leading layer axis, so the
+    check is path-based (norm/bias names) plus effective rank."""
+    import re
+
+    from leopard_tpu.parallel.sharding import path_str
+
+    def leaf(path, p):
+        name = path_str(path)
+        if re.search(r"(norm|(^|/)b[a-z0-9]?$|bias|latents)", name):
+            return False
+        # effective rank: ignore a leading layer-stack axis
+        eff = p.ndim - (1 if "layers" in name else 0)
+        return eff >= 2
+
+    return jax.tree_util.tree_map_with_path(leaf, params)
 
 
 def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:

@@ -202,11 +202,17 @@ def test_grad_accumulation_matches_full_batch():
     s2, m2 = step_accum(s2, batch)
 
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=1e-4
+    )
+    # Adam normalizes by |g|, so fp32 reorder noise between the scanned and
+    # batched reductions is amplified near g≈0 — compare params at the scale
+    # of the update (lr=1e-2), not machine epsilon
     for a, b in zip(
         jax.tree_util.tree_leaves(jax.device_get(s1.params)),
         jax.tree_util.tree_leaves(jax.device_get(s2.params)),
     ):
-        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(a, b, atol=5e-4, rtol=0)
 
 
 def test_weight_decay_skips_norms():
@@ -217,6 +223,6 @@ def test_weight_decay_skips_norms():
     cfg = cfgs.tiny_vlm()
     params = vlm.init_params(cfg, jax.random.PRNGKey(0))
     mask = _decay_mask(params["text"])
-    assert mask["layers"]["attn"]["wq"] is True
-    assert mask["layers"]["input_norm"] is False
-    assert mask["final_norm"] is False
+    assert bool(mask["layers"]["attn"]["wq"])
+    assert not bool(mask["layers"]["input_norm"])
+    assert not bool(mask["final_norm"])
