@@ -324,7 +324,7 @@ def forward(
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     if return_hidden:
-        return x, new_cache
+        return (x, new_cache, moe_aux_total) if return_aux else (x, new_cache)
     if logits_indices is not None:
         x = jnp.take_along_axis(x, logits_indices[:, None, None], axis=1)
     if cfg.tie_word_embeddings:

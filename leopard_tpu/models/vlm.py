@@ -89,6 +89,7 @@ def forward(
     remat: bool = False,
     logits_indices: Optional[jnp.ndarray] = None,
     return_aux: bool = False,
+    return_hidden: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Full VLM forward → (logits [B, S, V] fp32, updated cache)."""
     embeds = jnp.take(params["text"]["embed_tokens"], jnp.maximum(tokens, 0), axis=0)
@@ -107,4 +108,5 @@ def forward(
         remat=remat,
         logits_indices=logits_indices,
         return_aux=return_aux,
+        return_hidden=return_hidden,
     )

@@ -127,19 +127,63 @@ def token_cross_entropy(
     return jnp.sum(nll * weights) / total_w, total_w
 
 
+def chunked_cross_entropy(
+    hidden: jnp.ndarray,       # [B, S, H] — pre-unembedding hidden states
+    unembed: jnp.ndarray,      # [H, V]
+    targets: jnp.ndarray,      # [B, S]
+    weights: jnp.ndarray,      # [B, S]
+    chunk: int = 1024,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cross-entropy without materializing [B, S, V] logits: scan over
+    sequence chunks, computing the chunk's logits + NLL and discarding them.
+    Peak memory O(B·chunk·V); each chunk body is rematerialized so the
+    backward recomputes its logits instead of saving them (the role the
+    reference's vocab-parallel fused CE plays,
+    megatron/core/tensor_parallel/cross_entropy.py:14)."""
+    b, s, h = hidden.shape
+    chunk = min(chunk, s)
+    while s % chunk:
+        chunk -= 1
+    n = s // chunk
+    hc = hidden.reshape(b, n, chunk, h).transpose(1, 0, 2, 3)
+    tc = targets.reshape(b, n, chunk).transpose(1, 0, 2)
+    wc = weights.reshape(b, n, chunk).transpose(1, 0, 2)
+
+    @partial(jax.checkpoint, prevent_cse=False)
+    def body(carry, xs):
+        nll_sum, w_sum = carry
+        hx, tx, wx = xs
+        logits = (hx.astype(jnp.float32) @ unembed.astype(jnp.float32))
+        logz = jax.nn.logsumexp(logits, axis=-1)
+        true_logit = jnp.take_along_axis(
+            logits, tx[..., None].astype(jnp.int32), axis=-1
+        )[..., 0]
+        nll = (logz - true_logit) * wx
+        return (nll_sum + jnp.sum(nll), w_sum + jnp.sum(wx)), None
+
+    (nll_sum, w_sum), _ = jax.lax.scan(
+        body, (jnp.zeros(()), jnp.zeros(())), (hc, tc, wc)
+    )
+    total_w = jnp.maximum(w_sum, 1e-8)
+    return nll_sum / total_w, total_w
+
+
 def vlm_loss(
     params,
     cfg: VLMConfig,
     batch: dict,
     compute_dtype=jnp.bfloat16,
     remat: bool = True,
+    loss_chunk: int = 1024,
 ):
     """batch: tokens [B,S], loss_weights [B,S], segment_ids [B,S],
     optional images [N,3,H,W] (+patch_mask), optional positions.
 
     Next-token prediction: logits[:, t] predicts tokens[:, t+1]; image-token
     and padding positions carry weight 0 (≙ loss masking in
-    examples/llava/pretrain_megatron_llava.py:101-121)."""
+    examples/llava/pretrain_megatron_llava.py:101-121). The unembedding +
+    cross-entropy run chunked over the sequence so [B,S,V] logits are never
+    materialized."""
     p = cast_for_compute(params, compute_dtype)
     moe = cfg.text.num_experts > 0
     out = vlm.forward(
@@ -151,17 +195,23 @@ def vlm_loss(
         segment_ids=batch.get("segment_ids"),
         remat=remat,
         return_aux=moe,
+        return_hidden=True,
     )
-    logits = out[0]
+    hidden = out[0]
     moe_aux = out[2] if moe else None
-    shifted_logits = logits[:, :-1]
     targets = batch["tokens"][:, 1:]
     weights = batch["loss_weights"][:, 1:].astype(jnp.float32)
     # never train on image-token or padding targets
     weights = weights * (targets != cfg.image_token_id)
     if "segment_ids" in batch and batch["segment_ids"] is not None:
         weights = weights * (batch["segment_ids"][:, 1:] != 0)
-    loss, total_w = token_cross_entropy(shifted_logits, targets, weights)
+    text_p = p["text"]
+    unembed = (
+        text_p["embed_tokens"].T if cfg.text.tie_word_embeddings else text_p["lm_head"]
+    )
+    loss, total_w = chunked_cross_entropy(
+        hidden[:, :-1], unembed, targets, weights, chunk=loss_chunk
+    )
     metrics = {"loss": loss, "tokens_in_loss": total_w}
     if moe_aux is not None:
         loss = loss + moe_aux["aux_loss"] + moe_aux["z_loss"]
