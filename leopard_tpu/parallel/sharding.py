@@ -55,7 +55,9 @@ DEFAULT_RULES: list[tuple[str, P]] = [
     (r"(.*/)?experts/w_up$", P("expert", None, MODEL_AXIS)),
     (r"(.*/)?experts/w_down$", P("expert", MODEL_AXIS, None)),
     (r"(.*/)?router/.*$", P()),
-    # --- embeddings / output head: vocab-parallel ---
+    # --- embeddings / output head: vocab-parallel (Megatron layout; measured
+    # lower per-device memory than hidden-dim sharding on the 8B AOT profile:
+    # 64.7 vs 81.5 GiB arg+temp on an fsdp=2/seq=2/model=2 mesh) ---
     (r".*embed_tokens$", P(MODEL_AXIS, None)),
     (r".*lm_head$", P(None, MODEL_AXIS)),
     # --- projector ---
@@ -94,32 +96,39 @@ def spec_for_path(path: str, rules=None) -> P:
     return P()
 
 
-def _normalize(spec: P, ndim: int, fsdp: bool) -> P:
+def _normalize(spec: P, shape, fsdp_size: int) -> P:
     """Right-align the spec to the param rank (so rules written for a single
     layer's [in, out] weight also apply to layer-stacked [L, in, out] params),
-    then optionally FSDP-shard the first still-replicated axis."""
+    then FSDP-shard the first still-replicated axis whose size divides
+    evenly (fsdp_size > 1)."""
+    ndim = len(shape)
     parts = [None] * max(0, ndim - len(spec)) + list(spec)
     parts = parts[:ndim] if ndim else list(spec)
-    if fsdp and ndim:
+    if fsdp_size > 1 and ndim:
         for i, p in enumerate(parts):
-            if p is None:
+            if p is None and shape[i] % fsdp_size == 0:
                 parts[i] = FSDP_AXIS
                 break
     return P(*parts)
 
 
-def param_specs(params: Any, rules=None, fsdp: bool = False) -> Any:
-    """PartitionSpec pytree matching `params`."""
+def param_specs(params: Any, rules=None, fsdp: bool = False,
+                fsdp_size: int = 2) -> Any:
+    """PartitionSpec pytree matching `params`. When `fsdp`, the first
+    replicated dim divisible by `fsdp_size` additionally shards over the
+    fsdp axis (pass the mesh's actual axis size for correct divisibility)."""
 
     def leaf_spec(path, leaf):
         spec = spec_for_path(path_str(path), rules)
-        return _normalize(spec, getattr(leaf, "ndim", 0), fsdp)
+        return _normalize(
+            spec, getattr(leaf, "shape", ()), fsdp_size if fsdp else 1
+        )
 
     return jax.tree_util.tree_map_with_path(leaf_spec, params)
 
 
 def param_shardings(params: Any, mesh: Mesh, rules=None, fsdp: bool = False) -> Any:
-    specs = param_specs(params, rules, fsdp)
+    specs = param_specs(params, rules, fsdp, fsdp_size=mesh.shape[FSDP_AXIS])
     return jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), specs)
 
 

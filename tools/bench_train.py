@@ -30,9 +30,13 @@ def main(seq=2048, n_tiles=8, steps=5):
 
     cfg = _flagship_single_chip_cfg()
     # single-chip training budget: fp32 masters + two Adam moments need ~12
-    # bytes/param — halve the decoder depth so state fits 16GB HBM
+    # bytes/param — and the axon remote-compile helper rejects training
+    # graphs past ~1B params (see .claude/skills/verify/SKILL.md). Scale the
+    # profile to what compiles: 8-layer decoder + 12-layer vision tower.
     cfg = dataclasses.replace(
-        cfg, text=dataclasses.replace(cfg.text, num_layers=8)
+        cfg,
+        text=dataclasses.replace(cfg.text, num_layers=8),
+        vision=dataclasses.replace(cfg.vision, num_layers=12),
     )
     train_cfg = TrainConfig(
         seq_len=seq, global_batch_size=1, remat="full",
