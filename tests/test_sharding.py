@@ -136,3 +136,21 @@ def test_kv_cache_decode_under_tp():
     got, new_cache = run(sharded, tokens, cache)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
     assert int(new_cache.index[0]) == 4
+
+
+def test_engine_with_mesh_matches_unsharded():
+    """Engine(mesh=...) tensor-parallel generation == single-device engine."""
+    from leopard_tpu.config import GenerateConfig
+    from leopard_tpu.inference.engine import Engine
+
+    cfg, params = _tiny()
+    gen = GenerateConfig(max_new_tokens=3, greedy=True, eos_token_ids=(999999,))
+    prompt = np.asarray([5, 1, 30, 99], np.int32)
+
+    plain = Engine(cfg, params, seq_buckets=(8, 16), tile_buckets=(1,))
+    want = plain.generate([prompt], gen_cfg=gen).tokens[0]
+
+    mesh = build_mesh(MeshConfig(data=1, fsdp=1, expert=1, seq=1, model=8))
+    sharded = Engine(cfg, params, seq_buckets=(8, 16), tile_buckets=(1,), mesh=mesh)
+    got = sharded.generate([prompt], gen_cfg=gen).tokens[0]
+    np.testing.assert_array_equal(got, want)
