@@ -114,14 +114,23 @@ class Engine:
         seq_buckets: Sequence[int] = (256, 512, 1024, 2048, 4096, 8192, 16384),
         tile_buckets: Sequence[int] = (1, 2, 4, 8, 16, 32, 64),
         mesh=None,
+        quantize: Optional[str] = None,
     ):
         """When `mesh` is given, params are placed by the sharding rules
         (tensor-parallel serving over the "model" axis, batch over "data")
         and the KV cache shards its head dim — multi-chip inference with the
         same code path (≙ the reference's TP=8 generation,
-        megatron_patch/generation/)."""
+        megatron_patch/generation/). `quantize="int8"` converts the decoder's
+        matmul weights to weight-only int8 (≈half the HBM bytes per decode
+        step)."""
         self.cfg = cfg
         self.mesh = mesh
+        if quantize == "int8":
+            from leopard_tpu.ops.quant import quantize_tree
+
+            params = dict(params, text=quantize_tree(params["text"]))
+        elif quantize is not None:
+            raise ValueError(f"unknown quantize mode {quantize}")
         if mesh is not None:
             from leopard_tpu.parallel.sharding import shard_params
 

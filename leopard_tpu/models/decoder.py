@@ -26,6 +26,7 @@ import numpy as np
 
 from leopard_tpu.config import TextConfig
 from leopard_tpu.ops.attention import attention, make_attention_mask
+from leopard_tpu.ops.quant import matmul as qmm
 from leopard_tpu.ops.norms import rms_norm
 from leopard_tpu.ops.rotary import apply_rope, compute_inv_freq, rope_cos_sin
 
@@ -142,9 +143,9 @@ def _layer(
 
     res = x
     y = rms_norm(x, layer_params["input_norm"], cfg.rms_norm_eps)
-    q = (y @ p_attn["wq"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
-    kk = (y @ p_attn["wk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-    vv = (y @ p_attn["wv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    q = qmm(y, p_attn["wq"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
+    kk = qmm(y, p_attn["wk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    vv = qmm(y, p_attn["wv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
     q = apply_rope(q, cos, sin)
     kk = apply_rope(kk, cos, sin)
 
@@ -180,7 +181,7 @@ def _layer(
         )
     else:
         o = attention(q, kk, vv, mask=mask)
-    o = o.reshape(b, s, -1) @ p_attn["wo"]
+    o = qmm(o.reshape(b, s, -1), p_attn["wo"])
     x = res + o
 
     res = x
@@ -204,8 +205,8 @@ def _layer(
         x = res + out
     else:
         p_mlp = layer_params["mlp"]
-        gated = jax.nn.silu(y @ p_mlp["w_gate"]) * (y @ p_mlp["w_up"])
-        x = res + gated @ p_mlp["w_down"]
+        gated = jax.nn.silu(qmm(y, p_mlp["w_gate"])) * qmm(y, p_mlp["w_up"])
+        x = res + qmm(gated, p_mlp["w_down"])
     return x, new_kv, moe_aux
 
 
@@ -330,7 +331,9 @@ def forward(
     if cfg.tie_word_embeddings:
         logits = x.astype(jnp.float32) @ params["embed_tokens"].T.astype(jnp.float32)
     else:
-        logits = x.astype(jnp.float32) @ params["lm_head"].astype(jnp.float32)
+        # qmm handles both plain (bf16 promotes to f32 in the dot) and
+        # int8-quantized lm_head weights
+        logits = qmm(x.astype(jnp.float32), params["lm_head"])
     if return_aux:
         return logits, new_cache, moe_aux_total
     return logits, new_cache

@@ -33,6 +33,11 @@ from leopard_tpu.parallel.mesh import FSDP_AXIS, MODEL_AXIS
 # "/"-joined key paths into the param pytree, e.g.
 # "text/layers_0/attn/wq" or "vision/layers_3/mlp/fc1".
 DEFAULT_RULES: list[tuple[str, P]] = [
+    # --- int8-quantized weights (ops/quant.py): the int8 payload shards like
+    # its fp parent; per-output-channel scales are tiny → replicated ---
+    (r".*/(wq|wk|wv|w_gate|w_up|fc1|lm_head)/q$", P(None, MODEL_AXIS)),
+    (r".*/(wo|w_down|fc2)/q$", P(MODEL_AXIS, None)),
+    (r".*/(wq|wk|wv|wo|w_gate|w_up|w_down|fc1|fc2|lm_head)/s$", P()),
     # --- decoder / encoder attention ---
     (r"(.*/)?attn/wq$", P(None, MODEL_AXIS)),          # [hidden, n_heads*head_dim]
     (r"(.*/)?attn/wk$", P(None, MODEL_AXIS)),
