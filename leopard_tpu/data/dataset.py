@@ -75,9 +75,10 @@ class JsonlSftDataset:
 
 class ShardedSampleDataset:
     """wids-style sharded dataset: a shard-list json [{"path", "num_samples"}]
-    where each shard is an .npz/.json bundle of samples. Random access via
-    (shard, offset) computed from cumulative sizes
-    (≙ PackedShardListDataset, mm_pretrain_dataset.py:409-481)."""
+    where each shard is a jsonl bundle or a webdataset-style .tar (members
+    grouped by key prefix: `000001.conversations`, `000001.input_image`, …).
+    Random access via (shard, offset) computed from cumulative sizes
+    (≙ PackedShardListDataset over wids, mm_pretrain_dataset.py:409-481)."""
 
     def __init__(self, shard_list_path: str):
         with open(shard_list_path) as f:
@@ -95,9 +96,32 @@ class ShardedSampleDataset:
         if si not in self._cache:
             self._cache.clear()  # hold one shard at a time (sequential access)
             path = os.path.join(self.base, self.shards[si]["path"])
-            with open(path) as f:
-                self._cache[si] = [json.loads(l) for l in f if l.strip()]
+            if path.endswith(".tar"):
+                self._cache[si] = self._load_tar(path)
+            else:
+                with open(path) as f:
+                    self._cache[si] = [json.loads(l) for l in f if l.strip()]
         return self._cache[si]
+
+    @staticmethod
+    def _load_tar(path: str) -> list:
+        """webdataset tar → list of {".suffix": bytes} dicts, grouped by key
+        prefix in archive order (the wids sample layout)."""
+        import tarfile
+
+        samples: Dict[str, dict] = {}
+        order: List[str] = []
+        with tarfile.open(path) as tf:
+            for member in tf.getmembers():
+                if not member.isfile():
+                    continue
+                name = member.name
+                key, dot, suffix = name.partition(".")
+                if key not in samples:
+                    samples[key] = {"__key__": key}
+                    order.append(key)
+                samples[key]["." + suffix] = tf.extractfile(member).read()
+        return [samples[k] for k in order]
 
     def get_raw(self, i: int):
         si = int(np.searchsorted(self.cum, i, side="right") - 1)

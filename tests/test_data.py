@@ -232,3 +232,37 @@ def test_packed_loss_boundaries_are_masked():
     loss, aux = vlm_loss(params, cfg, d, jnp.float32, remat=False)
     # 2 samples × (8-1 non-bos) = 14 weighted targets
     assert float(aux["tokens_in_loss"]) == 14.0
+
+
+def test_sharded_tar_dataset(tmp_path):
+    """webdataset-style tar shards: members grouped by key prefix."""
+    import io
+    import tarfile
+
+    tar_path = os.path.join(tmp_path, "shard0.tar")
+    with tarfile.open(tar_path, "w") as tf:
+        for key in ["000000", "000001"]:
+            conv = json.dumps([{"from": "human", "value": f"q {key}"}]).encode()
+            info = tarfile.TarInfo(f"{key}.conversations")
+            info.size = len(conv)
+            tf.addfile(info, io.BytesIO(conv))
+            img = Image.new("RGB", (8, 8), (1, 2, 3))
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            data = buf.getvalue()
+            info = tarfile.TarInfo(f"{key}.input_image")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    spec = os.path.join(tmp_path, "shards.json")
+    with open(spec, "w") as f:
+        json.dump({"shardlist": [{"path": "shard0.tar", "num_samples": 2}]}, f)
+
+    from leopard_tpu.data.dataset import ShardedSampleDataset
+
+    ds = ShardedSampleDataset(spec)
+    assert len(ds) == 2
+    s = ds.get_raw(1)
+    assert s["__key__"] == "000001"
+    assert json.loads(s[".conversations"])[0]["value"] == "q 000001"
+    loaded = Image.open(io.BytesIO(s[".input_image"]))
+    assert loaded.size == (8, 8)
