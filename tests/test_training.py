@@ -226,3 +226,31 @@ def test_weight_decay_skips_norms():
     assert bool(mask["layers"]["attn"]["wq"])
     assert not bool(mask["layers"]["input_norm"])
     assert not bool(mask["final_norm"])
+
+
+def test_chunked_ce_matches_dense():
+    from leopard_tpu.training.trainer import chunked_cross_entropy
+
+    rng = np.random.RandomState(11)
+    hidden = jnp.asarray(rng.randn(2, 12, 16), jnp.float32)
+    unembed = jnp.asarray(rng.randn(16, 40), jnp.float32)
+    targets = jnp.asarray(rng.randint(0, 40, (2, 12)), jnp.int32)
+    weights = jnp.asarray((rng.rand(2, 12) > 0.3).astype(np.float32))
+
+    logits = hidden @ unembed
+    want, want_w = token_cross_entropy(logits, targets, weights)
+    got, got_w = chunked_cross_entropy(hidden, unembed, targets, weights, chunk=5)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+    assert float(got_w) == float(want_w)
+
+    # gradients too (remat inside the scan)
+    def loss_dense(h, u):
+        return token_cross_entropy(h @ u, targets, weights)[0]
+
+    def loss_chunked(h, u):
+        return chunked_cross_entropy(h, u, targets, weights, chunk=4)[0]
+
+    gd = jax.grad(loss_dense, argnums=(0, 1))(hidden, unembed)
+    gc = jax.grad(loss_chunked, argnums=(0, 1))(hidden, unembed)
+    for a, b in zip(gd, gc):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
