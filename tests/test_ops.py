@@ -177,3 +177,36 @@ def test_attention_sliding_window():
     mask = np.asarray(make_attention_mask(6, 6, causal=True, sliding_window=2))
     # token 5 may attend to positions 4,5 only
     assert mask[0, 0, 5].tolist() == [False, False, False, False, True, True]
+
+
+# --- on-device image preprocessing -------------------------------------------
+
+
+def test_preprocess_on_device_matches_host():
+    from PIL import Image
+
+    from leopard_tpu.data.anyres import preprocess_tiles
+    from leopard_tpu.ops.image import center_crop, preprocess_on_device
+
+    rng = np.random.RandomState(0)
+    arr = rng.randint(0, 255, (2, 3, 64, 48), dtype=np.uint8)
+    out = np.asarray(preprocess_on_device(jnp.asarray(arr), size=(56, 56)))
+    assert out.shape == (2, 3, 56, 56)
+    # same normalization convention as the host path
+    host_imgs = [
+        Image.fromarray(arr[i].transpose(1, 2, 0)) for i in range(2)
+    ]
+    host = preprocess_tiles(host_imgs, 56)
+    # bicubic implementations differ slightly between PIL and jax.image
+    assert np.abs(out - host).mean() < 0.1
+    # crop: center region preserved exactly
+    crop = np.asarray(center_crop(jnp.asarray(arr, jnp.float32), (32, 32)))
+    np.testing.assert_array_equal(crop, arr[:, :, 16:48, 8:40].astype(np.float32))
+
+
+def test_preprocess_on_device_range():
+    from leopard_tpu.ops.image import preprocess_on_device
+
+    white = jnp.full((1, 3, 20, 20), 255, jnp.uint8)
+    out = np.asarray(preprocess_on_device(white, size=(28, 28)))
+    np.testing.assert_allclose(out, 1.0, atol=1e-5)  # (1-0.5)/0.5
