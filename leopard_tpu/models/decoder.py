@@ -241,16 +241,18 @@ def forward(
     cos, sin = rope_cos_sin(positions, inv_freq)
 
     # attention implementation selection: cached decode always uses the dense
-    # (masked) path; long uncached prefill/training uses the Pallas flash
-    # kernel on TPU (measured ~1.3× dense at 4k on v5e) and blockwise chunked
-    # attention elsewhere (flash needs Mosaic; CPU runs it only interpreted)
+    # (masked) path. Long uncached sequences: the Pallas flash kernel on TPU
+    # for inference prefill (measured ~1.3× dense at 4k on v5e); blockwise
+    # chunked attention for training (remat=True) and CPU — a pallas_call is
+    # not SPMD-partitioned, so under sequence-parallel training it would
+    # force an all-gather of the seq axis, while the chunked path partitions.
     attn_impl = cfg.attn_impl
     if cache is not None:
         attn_impl = "dense"
     elif attn_impl == "auto":
         if s >= cfg.long_seq_threshold:
             on_tpu = jax.devices()[0].platform == "tpu"
-            attn_impl = "flash" if on_tpu else "chunked"
+            attn_impl = "flash" if (on_tpu and not remat) else "chunked"
         else:
             attn_impl = "dense"
 
