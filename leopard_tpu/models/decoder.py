@@ -137,6 +137,8 @@ def _layer(
     cache_index: Optional[jnp.ndarray],
     attn_impl: str = "dense",
     segment_ids: Optional[jnp.ndarray] = None,
+    cp_mesh=None,
+    cp_axis: str = "seq",
 ):
     b, s, h = x.shape
     p_attn = layer_params["attn"]
@@ -178,6 +180,15 @@ def _layer(
             q, kk, vv, causal=True,
             q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
             block_q=blk, block_k=blk,
+        )
+    elif attn_impl == "ring":
+        # context parallelism: sequence stays sharded over cp_axis, KV blocks
+        # rotate around the ring (parallel/context_parallel.py)
+        from leopard_tpu.parallel.context_parallel import ring_attention
+
+        o = ring_attention(
+            q, kk, vv, cp_mesh, axis=cp_axis, causal=True,
+            segment_ids=segment_ids,
         )
     else:
         o = attention(q, kk, vv, mask=mask)
@@ -223,6 +234,8 @@ def forward(
     remat: bool = False,
     logits_indices: Optional[jnp.ndarray] = None,  # [B] — only these positions
     return_aux: bool = False,                      # also return MoE aux losses
+    cp_mesh=None,                                  # Mesh for attn_impl="ring"
+    cp_axis: str = "seq",
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Returns (logits [B, S, V] fp32 — or [B, 1, V] when logits_indices is
     given — and the updated cache or None). Restricting logits to the needed
@@ -309,6 +322,7 @@ def forward(
             xs, _, moe_aux = _layer(
                 xs, lp, cfg, cos, sin, mask, None, None,
                 attn_impl=attn_impl, segment_ids=segment_ids,
+                cp_mesh=cp_mesh, cp_axis=cp_axis,
             )
             if moe_aux is not None:
                 aux = {

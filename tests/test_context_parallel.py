@@ -66,3 +66,31 @@ def test_ring_attention_noncausal():
     want = attention(q, k, v, causal=False)
     got = ring_attention(q, k, v, mesh, causal=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_decoder_with_ring_attention_matches_dense():
+    """decoder.forward(attn_impl='ring', cp_mesh=...) == dense, with the
+    sequence sharded over the seq axis end-to-end."""
+    import dataclasses
+
+    from leopard_tpu import config as cfgs
+    from leopard_tpu.models import decoder, vlm
+
+    cfg = cfgs.tiny_vlm()
+    params = vlm.init_params(cfg, jax.random.PRNGKey(0))["text"]
+    mesh = _mesh()  # seq=4, model=2
+    ids = np.random.RandomState(5).randint(1, 100, (2, 16)).astype(np.int32)
+
+    dense_cfg = dataclasses.replace(cfg.text, attn_impl="dense")
+    want, _ = decoder.forward(params, dense_cfg, jnp.asarray(ids))
+
+    ring_cfg = dataclasses.replace(cfg.text, attn_impl="ring")
+    toks = jax.device_put(jnp.asarray(ids), NamedSharding(mesh, P(None, "seq")))
+
+    @jax.jit
+    def run(p, t):
+        logits, _ = decoder.forward(p, ring_cfg, t, cp_mesh=mesh)
+        return logits
+
+    got = run(params, toks)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-4, atol=3e-4)
