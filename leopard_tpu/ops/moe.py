@@ -26,6 +26,9 @@ class MoEConfig:
     num_experts: int = 8
     top_k: int = 2
     capacity_factor: float = 1.25
+    # dropless (MegaBlocks dMoE semantics): capacity = T·k so no token is
+    # ever dropped, trading dispatch memory for exactness
+    dropless: bool = False
     aux_loss_coef: float = 1e-2
     z_loss_coef: float = 1e-3
     intermediate_size: int = 14336
@@ -94,7 +97,11 @@ def moe_layer(
     # renormalize selected probabilities (Megatron top-k softmax-then-norm)
     top_p = top_p / jnp.maximum(top_p.sum(-1, keepdims=True), 1e-9)
 
-    capacity = int(max(1, cfg.capacity_factor * t * k / e))
+    if cfg.dropless:
+        # worst case: every routed assignment lands on one expert
+        capacity = t * k
+    else:
+        capacity = int(max(1, cfg.capacity_factor * t * k / e))
 
     # position of each (token, slot) within its expert, via cumsum over the
     # flattened routing mask (≙ MegaBlocks cumsum/histogram index build)

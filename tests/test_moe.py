@@ -129,3 +129,11 @@ def test_moe_decoder_end_to_end():
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0]
     assert "moe_aux_loss" in metrics
+
+
+def test_moe_dropless_never_drops():
+    cfg = _tiny_cfg(dropless=True, capacity_factor=0.01)  # factor ignored
+    params = init_params(cfg, jax.random.PRNGKey(5))
+    x = jnp.asarray(np.random.RandomState(5).randn(2, 16, 16), jnp.float32)
+    _, aux = moe_layer(params, cfg, x)
+    assert float(aux["fraction_dropped"]) == 0.0
