@@ -19,8 +19,8 @@ are spliced in as ids — same result, O(text) instead of O(visual tokens).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import List, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import List, Sequence, Tuple
 
 import numpy as np
 

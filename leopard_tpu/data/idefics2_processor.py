@@ -10,7 +10,7 @@ matching HF Idefics2ImageProcessor with do_image_splitting=False.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 from PIL import Image

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-import numpy as np
 from PIL import Image
 
 from leopard_tpu.config import GenerateConfig, VLMConfig

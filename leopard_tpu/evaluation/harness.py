@@ -15,10 +15,8 @@ from __future__ import annotations
 import json
 import os
 from collections import defaultdict
-from dataclasses import dataclass, field
-from typing import Callable, Dict, List, Optional, Sequence
-
-import numpy as np
+from dataclasses import dataclass
+from typing import Callable, List, Optional, Sequence
 
 from leopard_tpu.evaluation.loaders import ANLS_DATASETS, read_jsonl, write_jsonl
 from leopard_tpu.evaluation.metrics import (

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import json
 from http.server import BaseHTTPRequestHandler, HTTPServer
-from typing import Optional
 
 import numpy as np
 

@@ -14,7 +14,7 @@ single large GEMM over all tiles (the per-tile grid is static: 26×26 at 364px).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ XLA-fusable ops, differentiable, and shard_map-compatible.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

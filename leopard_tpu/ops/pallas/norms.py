@@ -15,7 +15,6 @@ norms are bandwidth-bound; the recompute fuses into the backward matmuls).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ scales with S/n per device, communication overlapped by XLA's scheduler.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

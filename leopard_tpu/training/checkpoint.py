@@ -17,12 +17,10 @@ finalized at megatron_patch/training.py:562). Built on Orbax:
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Any, Optional
 
 import jax
-import numpy as np
 
 try:
     import orbax.checkpoint as ocp

@@ -11,7 +11,6 @@ from __future__ import annotations
 import time
 from typing import Callable, Iterable, Optional
 
-import jax
 import numpy as np
 
 from leopard_tpu.config import TrainConfig, VLMConfig

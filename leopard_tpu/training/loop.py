@@ -16,7 +16,6 @@ import time
 from typing import Callable, Iterable, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from leopard_tpu.config import TrainConfig, VLMConfig
