@@ -38,12 +38,17 @@ def _beam_decode(
     w = beam_width
     eos = jnp.asarray(eos_ids, jnp.int32)
 
-    # tile the prefill cache across beams
+    # tile the prefill cache across beams (scales present in int8-KV mode)
+    def _rep1(a):
+        return jnp.repeat(a, w, axis=1) if a is not None else None
+
     cache = KVCache(
-        k=jnp.repeat(cache.k, w, axis=1),
-        v=jnp.repeat(cache.v, w, axis=1),
+        k=_rep1(cache.k),
+        v=_rep1(cache.v),
         seg=jnp.repeat(cache.seg, w, axis=0),
         index=jnp.repeat(cache.index, w, axis=0),
+        k_scale=_rep1(cache.k_scale),
+        v_scale=_rep1(cache.v_scale),
     )
 
     logp0 = jax.nn.log_softmax(first_logits[0].astype(jnp.float32))
@@ -73,11 +78,16 @@ def _beam_decode(
         tok = (flat_idx % v).astype(jnp.int32)
 
         # reorder state by winning beams
+        def _take1(a):
+            return jnp.take(a, beam_idx, axis=1) if a is not None else None
+
         cache = KVCache(
-            k=jnp.take(cache.k, beam_idx, axis=1),
-            v=jnp.take(cache.v, beam_idx, axis=1),
+            k=_take1(cache.k),
+            v=_take1(cache.v),
             seg=jnp.take(cache.seg, beam_idx, axis=0),
             index=jnp.take(cache.index, beam_idx, axis=0),
+            k_scale=_take1(cache.k_scale),
+            v_scale=_take1(cache.v_scale),
         )
         tokens_buf = jnp.take(tokens_buf, beam_idx, axis=0).at[:, i].set(tok)
         done = jnp.take(done, beam_idx, axis=0) | jnp.any(

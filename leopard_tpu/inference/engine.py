@@ -115,6 +115,7 @@ class Engine:
         tile_buckets: Sequence[int] = (1, 2, 4, 8, 16, 32, 64),
         mesh=None,
         quantize: Optional[str] = None,
+        quantize_kv: bool = False,
     ):
         """When `mesh` is given, params are placed by the sharding rules
         (tensor-parallel serving over the "model" axis, batch over "data")
@@ -139,6 +140,7 @@ class Engine:
         self.gen_cfg = gen_cfg or GenerateConfig()
         self.seq_buckets = sorted(seq_buckets)
         self.tile_buckets = sorted(tile_buckets)
+        self.quantize_kv = quantize_kv
 
     def _bucket(self, x: int, buckets: Sequence[int]) -> int:
         for bkt in buckets:
@@ -183,7 +185,8 @@ class Engine:
         cache_len = max_cache or self._bucket(
             s + gen_cfg.max_new_tokens, self.seq_buckets
         )
-        cache = KVCache.create(self.cfg.text, b, cache_len)
+        cache = KVCache.create(self.cfg.text, b, cache_len,
+                               quantized=self.quantize_kv)
 
         feats = None
         if images is not None and images.shape[0] > 0:

@@ -108,11 +108,29 @@ class KVCache:
     v: jnp.ndarray
     seg: jnp.ndarray
     index: jnp.ndarray  # [B] int32
+    # int8 mode: per-token-per-head dequant scales [L, B, S_max, H_kv] f32
+    k_scale: Optional[jnp.ndarray] = None
+    v_scale: Optional[jnp.ndarray] = None
+
+    @property
+    def quantized(self) -> bool:
+        return self.k.dtype == jnp.int8
 
     @staticmethod
-    def create(cfg: TextConfig, batch: int, max_len: int, dtype=None) -> "KVCache":
-        dt = dtype or _dtype(cfg)
+    def create(cfg: TextConfig, batch: int, max_len: int, dtype=None,
+               quantized: bool = False) -> "KVCache":
         shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        if quantized:
+            sshape = shape[:-1]
+            return KVCache(
+                k=jnp.zeros(shape, jnp.int8),
+                v=jnp.zeros(shape, jnp.int8),
+                seg=jnp.zeros((batch, max_len), jnp.int32),
+                index=jnp.zeros((batch,), jnp.int32),
+                k_scale=jnp.zeros(sshape, jnp.float32),
+                v_scale=jnp.zeros(sshape, jnp.float32),
+            )
+        dt = dtype or _dtype(cfg)
         return KVCache(
             k=jnp.zeros(shape, dt),
             v=jnp.zeros(shape, dt),
@@ -122,7 +140,9 @@ class KVCache:
 
 
 jax.tree_util.register_dataclass(
-    KVCache, data_fields=["k", "v", "seg", "index"], meta_fields=[]
+    KVCache,
+    data_fields=["k", "v", "seg", "index", "k_scale", "v_scale"],
+    meta_fields=[],
 )
 
 
@@ -152,8 +172,9 @@ def _layer(
     kk = apply_rope(kk, cos, sin)
 
     new_kv = None
-    if cache_kv is not None:
-        ck, cv = cache_kv
+    quant_kv = cache_kv is not None and cache_kv[0].dtype == jnp.int8
+    if cache_kv is not None and not quant_kv:
+        ck, cv = cache_kv[:2]
 
         def write(c, new, idx):
             return jax.lax.dynamic_update_slice(c, new, (idx, 0, 0))
@@ -162,6 +183,30 @@ def _layer(
         cv = jax.vmap(write)(cv, vv.astype(cv.dtype), cache_index)
         kk, vv = ck, cv
         new_kv = (ck, cv)
+    elif quant_kv:
+        ck, cv, ck_s, cv_s = cache_kv
+
+        def q8(x):
+            s = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1) / 127.0
+            s = jnp.maximum(s, 1e-8)
+            q = jnp.clip(jnp.round(x.astype(jnp.float32) / s[..., None]),
+                         -127, 127).astype(jnp.int8)
+            return q, s
+
+        kk_q, kk_s = q8(kk)
+        vv_q, vv_s = q8(vv)
+
+        def write(c, new, idx):
+            return jax.lax.dynamic_update_slice(c, new, (idx, 0, 0))
+
+        def write_s(c, new, idx):
+            return jax.lax.dynamic_update_slice(c, new, (idx, 0))
+
+        ck = jax.vmap(write)(ck, kk_q, cache_index)
+        cv = jax.vmap(write)(cv, vv_q, cache_index)
+        ck_s = jax.vmap(write_s)(ck_s, kk_s, cache_index)
+        cv_s = jax.vmap(write_s)(cv_s, vv_s, cache_index)
+        new_kv = (ck, cv, ck_s, cv_s)
 
     if attn_impl == "chunked":
         from leopard_tpu.ops.chunked_attention import chunked_attention
@@ -190,6 +235,10 @@ def _layer(
             q, kk, vv, cp_mesh, axis=cp_axis, causal=True,
             segment_ids=segment_ids,
         )
+    elif quant_kv:
+        from leopard_tpu.ops.attention import attention_quant_kv
+
+        o = attention_quant_kv(q, ck, ck_s, cv, cv_s, mask=mask)
     else:
         o = attention(q, kk, vv, mask=mask)
     o = qmm(o.reshape(b, s, -1), p_attn["wo"])
@@ -308,14 +357,29 @@ def forward(
     moe_aux_total = {"aux_loss": jnp.zeros((), jnp.float32),
                      "z_loss": jnp.zeros((), jnp.float32)}
     if cache is not None:
+        quantized = cache.quantized
+
         def body(carry, per_layer):
             xs, = carry
-            lp, ck, cv = per_layer
-            xs, new_kv, _ = _layer(xs, lp, cfg, cos, sin, mask, (ck, cv), cache.index)
+            if quantized:
+                lp, ck, cv, ck_s, cv_s = per_layer
+                kv_in = (ck, cv, ck_s, cv_s)
+            else:
+                lp, ck, cv = per_layer
+                kv_in = (ck, cv)
+            xs, new_kv, _ = _layer(xs, lp, cfg, cos, sin, mask, kv_in, cache.index)
             return (xs,), new_kv
 
-        (x,), new_kvs = jax.lax.scan(body, (x,), (stacked, cache.k, cache.v))
-        new_cache = KVCache(k=new_kvs[0], v=new_kvs[1], seg=new_seg, index=new_index)
+        xs_in = (
+            (stacked, cache.k, cache.v, cache.k_scale, cache.v_scale)
+            if quantized else (stacked, cache.k, cache.v)
+        )
+        (x,), new_kvs = jax.lax.scan(body, (x,), xs_in)
+        new_cache = KVCache(
+            k=new_kvs[0], v=new_kvs[1], seg=new_seg, index=new_index,
+            k_scale=new_kvs[2] if quantized else None,
+            v_scale=new_kvs[3] if quantized else None,
+        )
     else:
         def body(carry, lp):
             xs, aux = carry

@@ -100,6 +100,12 @@ def attention(
 
     group = hq // hkv
     qg = q.reshape(b, sq, hkv, group, d)
+    return _attention_core(qg, k, v, mask, bias, scale, hq).astype(q.dtype)
+
+
+def _attention_core(qg, k, v, mask, bias, scale, hq):
+    b, sq, hkv, group, d = qg.shape
+    skv = k.shape[1]
     # scores: [B, Hkv, G, Sq, Skv]
     scores = jnp.einsum(
         "bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32
@@ -115,8 +121,50 @@ def attention(
             m = mask.reshape(mask.shape[0], hkv, group, sq, skv)
         scores = jnp.where(m, scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
+    compute_dtype = v.dtype if v.dtype != jnp.int8 else jnp.bfloat16
     out = jnp.einsum(
-        "bhgqk,bkhd->bqhgd", probs.astype(v.dtype), v,
+        "bhgqk,bkhd->bqhgd", probs.astype(compute_dtype), v.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(b, sq, hq, d)
+
+
+def attention_quant_kv(
+    q: jnp.ndarray,        # [B, Sq, Hq, D]
+    k_q: jnp.ndarray,      # [B, Skv, Hkv, D] int8
+    k_s: jnp.ndarray,      # [B, Skv, Hkv] f32 per-token-per-head scale
+    v_q: jnp.ndarray,      # [B, Skv, Hkv, D] int8
+    v_s: jnp.ndarray,      # [B, Skv, Hkv] f32
+    *,
+    mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Attention over an int8-quantized KV cache. The dequant folds into the
+    score/output math instead of materializing a bf16 cache copy:
+      scores = (q · k_int8) · k_scale[kv]     (per kv position & head)
+      out    = (probs · v_scale[kv]) @ v_int8
+    so the cache is read at int8 width (≈half the decode HBM traffic)."""
+    b, sq, hq, d = q.shape
+    _, skv, hkv, _ = k_q.shape
+    group = hq // hkv
+    if scale is None:
+        scale = d**-0.5
+    qg = q.reshape(b, sq, hkv, group, d)
+    scores = jnp.einsum(
+        "bqhgd,bkhd->bhgqk", qg.astype(jnp.bfloat16), k_q.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    # k scale: [B, Skv, Hkv] → [B, Hkv, 1, 1, Skv]
+    scores = scores * (scale * k_s.transpose(0, 2, 1)[:, :, None, None, :])
+    if mask is not None:
+        m = mask[:, :, None] if mask.shape[1] == 1 else mask.reshape(
+            mask.shape[0], hkv, group, sq, skv
+        )
+        scores = jnp.where(m, scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = probs * v_s.transpose(0, 2, 1)[:, :, None, None, :]
+    out = jnp.einsum(
+        "bhgqk,bkhd->bqhgd", probs.astype(jnp.bfloat16), v_q.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     )
     return out.reshape(b, sq, hq, d).astype(q.dtype)

@@ -86,3 +86,44 @@ def test_dequantize_tree_roundtrip():
     w0 = np.asarray(params["text"]["layers"]["attn"]["wq"])
     w1 = np.asarray(deq["layers"]["attn"]["wq"])
     assert np.abs(w0 - w1).max() < np.abs(w0).max() / 100
+
+
+def test_int8_kv_cache_decode_close_to_fp():
+    """Quantized KV cache: prefill+decode logits close to the fp cache path,
+    greedy tokens identical on the tiny model."""
+    import jax.numpy as jnp
+
+    from leopard_tpu.models.decoder import KVCache
+
+    cfg = cfgs.tiny_vlm()
+    params = vlm.init_params(cfg, jax.random.PRNGKey(0))
+    tcfg = cfg.text
+    tokens = jnp.asarray([[5, 9, 2, 7]], jnp.int32)
+
+    fp_cache = KVCache.create(tcfg, 1, 8, dtype=jnp.float32)
+    fp_logits, fp_cache = decoder.forward(params["text"], tcfg, tokens, cache=fp_cache)
+
+    q_cache = KVCache.create(tcfg, 1, 8, quantized=True)
+    assert q_cache.quantized and q_cache.k.dtype == jnp.int8
+    q_logits, q_cache = decoder.forward(params["text"], tcfg, tokens, cache=q_cache)
+
+    corr = np.corrcoef(np.asarray(fp_logits).ravel(), np.asarray(q_logits).ravel())[0, 1]
+    assert corr > 0.999, corr
+    # a decode step too
+    nxt = jnp.argmax(fp_logits[:, -1], -1).astype(jnp.int32)[:, None]
+    fp_step, _ = decoder.forward(params["text"], tcfg, nxt, cache=fp_cache)
+    q_step, _ = decoder.forward(params["text"], tcfg, nxt, cache=q_cache)
+    assert int(jnp.argmax(fp_step[0, 0])) == int(jnp.argmax(q_step[0, 0]))
+
+
+def test_engine_int8_kv_generates():
+    cfg = cfgs.tiny_vlm()
+    params = vlm.init_params(cfg, jax.random.PRNGKey(0))
+    gen = GenerateConfig(max_new_tokens=3, greedy=True, eos_token_ids=(999999,))
+    prompt = np.asarray([5, 1, 30, 99], np.int32)
+    fp = Engine(cfg, params, seq_buckets=(8, 16), tile_buckets=(1,))
+    qkv = Engine(cfg, params, seq_buckets=(8, 16), tile_buckets=(1,),
+                 quantize_kv=True)
+    out_fp = fp.generate([prompt], gen_cfg=gen).tokens[0]
+    out_q = qkv.generate([prompt], gen_cfg=gen).tokens[0]
+    np.testing.assert_array_equal(out_q, out_fp)
