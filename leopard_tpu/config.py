@@ -103,6 +103,8 @@ class TextConfig:
     num_experts: int = 0
     moe_top_k: int = 2
     moe_capacity_factor: float = 1.25
+    # dropless (MegaBlocks dMoE): sort-based ragged dispatch, no token drops
+    moe_dropless: bool = False
     moe_aux_loss_coef: float = 1e-2
     moe_z_loss_coef: float = 1e-3
 

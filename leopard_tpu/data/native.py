@@ -10,8 +10,10 @@ toolchain (and the fallbacks double as test oracles).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
+import tempfile
 import threading
 from typing import Optional
 
@@ -19,10 +21,27 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "_native", "index_builders.cpp")
-_SO = os.path.join(_HERE, "_native", "libindex_builders.so")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
+
+
+def _so_path() -> str:
+    """Cache path keyed by a hash of the reviewed source, so a stale or
+    foreign binary can never be silently loaded (no prebuilt .so ships in the
+    repo; first use compiles into the user cache)."""
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache = os.environ.get("LEOPARD_NATIVE_CACHE") or os.path.join(
+        os.environ.get("XDG_CACHE_HOME")
+        or os.path.join(os.path.expanduser("~"), ".cache"),
+        "leopard_tpu",
+    )
+    try:
+        os.makedirs(cache, exist_ok=True)
+    except OSError:
+        cache = tempfile.gettempdir()
+    return os.path.join(cache, f"libindex_builders-{digest}.so")
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -32,16 +51,19 @@ def _load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        so = _so_path()
+        if not os.path.exists(so):
             try:
+                tmp = so + f".tmp{os.getpid()}"
                 subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO],
+                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp],
                     check=True, capture_output=True,
                 )
-            except (subprocess.CalledProcessError, FileNotFoundError):
+                os.replace(tmp, so)
+            except (subprocess.CalledProcessError, FileNotFoundError, OSError):
                 _build_failed = True
                 return None
-        lib = ctypes.CDLL(_SO)
+        lib = ctypes.CDLL(so)
         lib.leopard_build_blending_indices.argtypes = [
             ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_double), ctypes.c_int32, ctypes.c_int64,

@@ -36,10 +36,16 @@ class LeopardLM:
         self._logprobs = _logprobs
 
     def _score(self, ctx_ids: Sequence[int], cont_ids: Sequence[int]) -> Tuple[float, bool]:
-        """Sum logprob of continuation given context + greedy-match flag."""
+        """Sum logprob of continuation given context + greedy-match flag.
+
+        Over-length requests keep the last max_len tokens; the continuation is
+        clamped so at least one conditioning token remains (scoring position
+        t reads lp[t-1], so start must be >= 1)."""
         ids = list(ctx_ids) + list(cont_ids)
         ids = ids[-self.max_len:]
-        n_cont = len(cont_ids)
+        n_cont = min(len(cont_ids), len(ids) - 1)
+        if n_cont <= 0:
+            return 0.0, True
         pad = 8 * ((len(ids) + 7) // 8)
         tokens = np.zeros((1, pad), np.int32)
         seg = np.zeros((1, pad), np.int32)

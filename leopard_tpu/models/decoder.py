@@ -224,6 +224,7 @@ def _layer(
         o = flash_attention(
             q, kk, vv, causal=True,
             q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
+            sliding_window=cfg.sliding_window,
             block_q=blk, block_k=blk,
         )
     elif attn_impl == "ring":
@@ -233,7 +234,7 @@ def _layer(
 
         o = ring_attention(
             q, kk, vv, cp_mesh, axis=cp_axis, causal=True,
-            segment_ids=segment_ids,
+            segment_ids=segment_ids, sliding_window=cfg.sliding_window,
         )
     elif quant_kv:
         from leopard_tpu.ops.attention import attention_quant_kv
@@ -253,6 +254,7 @@ def _layer(
         moe_cfg = MoEConfig(
             num_experts=cfg.num_experts, top_k=cfg.moe_top_k,
             capacity_factor=cfg.moe_capacity_factor,
+            dropless=cfg.moe_dropless,
             aux_loss_coef=cfg.moe_aux_loss_coef,
             z_loss_coef=cfg.moe_z_loss_coef,
             intermediate_size=cfg.intermediate_size, hidden_size=h,

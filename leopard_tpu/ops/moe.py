@@ -26,8 +26,8 @@ class MoEConfig:
     num_experts: int = 8
     top_k: int = 2
     capacity_factor: float = 1.25
-    # dropless (MegaBlocks dMoE semantics): capacity = T·k so no token is
-    # ever dropped, trading dispatch memory for exactness
+    # dropless (MegaBlocks dMoE semantics): sort-based ragged dispatch with
+    # grouped GEMMs — no token is ever dropped, O(T·k) memory
     dropless: bool = False
     aux_loss_coef: float = 1e-2
     z_loss_coef: float = 1e-3
@@ -81,6 +81,34 @@ def z_loss(logits: jnp.ndarray):
     return jnp.mean(jax.nn.logsumexp(logits, axis=-1) ** 2)
 
 
+def _dropless_dispatch(params: dict, xt: jnp.ndarray, top_p, top_i, k: int, e: int):
+    """MegaBlocks-dMoE-style dropless dispatch: stable-sort the T·k routed
+    assignments by expert id (≙ csrc sort/histogram/indices,
+    megablocks/csrc/ops.cu:12-18), run the three expert matmuls as grouped
+    GEMMs over the sorted rows (`jax.lax.ragged_dot`, the TPU analogue of
+    MegaBlocks' blocked-sparse SDD/DSD), and scatter-add the gated outputs
+    back. O(T·k) memory, zero drops."""
+    t, h = xt.shape
+    tk = t * k
+    e_flat = top_i.reshape(tk).astype(jnp.int32)
+    sort_eid, sort_idx = jax.lax.sort_key_val(
+        e_flat, jnp.arange(tk, dtype=jnp.int32)
+    )
+    tok_idx = sort_idx // k                                    # source token/row
+    x_sorted = jnp.take(xt, tok_idx, axis=0)                   # [T·k, H]
+    group_sizes = jnp.bincount(e_flat, length=e).astype(jnp.int32)
+
+    we = params["experts"]
+    gated = jax.nn.silu(
+        jax.lax.ragged_dot(x_sorted, we["w_gate"], group_sizes)
+    ) * jax.lax.ragged_dot(x_sorted, we["w_up"], group_sizes)
+    y_sorted = jax.lax.ragged_dot(gated, we["w_down"], group_sizes)  # [T·k, H]
+
+    gates = jnp.take(top_p.reshape(tk), sort_idx).astype(y_sorted.dtype)
+    out = jnp.zeros((t, h), y_sorted.dtype)
+    return out.at[tok_idx].add(y_sorted * gates[:, None])
+
+
 def moe_layer(
     params: dict,
     cfg: MoEConfig,
@@ -97,11 +125,17 @@ def moe_layer(
     # renormalize selected probabilities (Megatron top-k softmax-then-norm)
     top_p = top_p / jnp.maximum(top_p.sum(-1, keepdims=True), 1e-9)
 
+    aux = {
+        "aux_loss": cfg.aux_loss_coef * load_balancing_loss(top_p, top_i, e),
+        "z_loss": cfg.z_loss_coef * z_loss(logits),
+    }
+
     if cfg.dropless:
-        # worst case: every routed assignment lands on one expert
-        capacity = t * k
-    else:
-        capacity = int(max(1, cfg.capacity_factor * t * k / e))
+        out = _dropless_dispatch(params, xt, top_p, top_i, k, e)
+        aux["fraction_dropped"] = jnp.zeros((), jnp.float32)
+        return out.reshape(b, s, h).astype(x.dtype), aux
+
+    capacity = int(max(1, cfg.capacity_factor * t * k / e))
 
     # position of each (token, slot) within its expert, via cumsum over the
     # flattened routing mask (≙ MegaBlocks cumsum/histogram index build)
@@ -132,9 +166,5 @@ def moe_layer(
     ).astype(x.dtype)                                          # weight per (t,e,c)
     out = jnp.einsum("ech,tec->th", expert_out, combine).reshape(b, s, h)
 
-    aux = {
-        "aux_loss": cfg.aux_loss_coef * load_balancing_loss(top_p, top_i, e),
-        "z_loss": cfg.z_loss_coef * z_loss(logits),
-        "fraction_dropped": 1.0 - keep.mean(),
-    }
+    aux["fraction_dropped"] = 1.0 - keep.mean()
     return out.astype(x.dtype), aux

