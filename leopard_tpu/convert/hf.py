@@ -318,6 +318,119 @@ def export_decoder(params: dict, cfg: TextConfig, prefix: str = "model.") -> Dic
     return out
 
 
+def _f32(a) -> np.ndarray:
+    return np.asarray(a, np.float32)
+
+
+def export_siglip_vision(
+    params: dict, cfg: VisionConfig, prefix: str = "vision_model."
+) -> Dict[str, np.ndarray]:
+    """Inverse of convert_siglip_vision: siglip params → HF SiglipVisionModel
+    keys (hf2megatron_llava.py:41-48 export direction, vision mapping
+    vlm_model.py:684-791)."""
+    out: Dict[str, np.ndarray] = {}
+    p = prefix
+    ps = cfg.patch_size
+    kernel = _f32(params["patch_embed"]["kernel"])              # [C*ps*ps, H]
+    h = kernel.shape[1]
+    out[f"{p}embeddings.patch_embedding.weight"] = kernel.T.reshape(
+        h, cfg.num_channels, ps, ps
+    )
+    if "bias" in params["patch_embed"]:
+        out[f"{p}embeddings.patch_embedding.bias"] = _f32(params["patch_embed"]["bias"])
+    out[f"{p}embeddings.position_embedding.weight"] = _f32(params["pos_embed"])
+    if "class_embed" in params:
+        out[f"{p}embeddings.class_embedding"] = _f32(params["class_embed"])
+    if "pre_ln" in params:
+        out[f"{p}pre_layrnorm.weight"] = _f32(params["pre_ln"]["scale"])
+        out[f"{p}pre_layrnorm.bias"] = _f32(params["pre_ln"]["bias"])
+    layers = params["layers"]
+    for i in range(cfg.num_layers):
+        lp = f"{p}encoder.layers.{i}."
+        out[lp + "layer_norm1.weight"] = _f32(layers["ln1"]["scale"][i])
+        out[lp + "layer_norm1.bias"] = _f32(layers["ln1"]["bias"][i])
+        for ours, theirs in (("wq", "q_proj"), ("wk", "k_proj"),
+                             ("wv", "v_proj"), ("wo", "out_proj")):
+            out[lp + f"self_attn.{theirs}.weight"] = _f32(layers["attn"][ours][i]).T
+            out[lp + f"self_attn.{theirs}.bias"] = _f32(
+                layers["attn"]["b" + ours[1]][i]
+            )
+        out[lp + "layer_norm2.weight"] = _f32(layers["ln2"]["scale"][i])
+        out[lp + "layer_norm2.bias"] = _f32(layers["ln2"]["bias"][i])
+        out[lp + "mlp.fc1.weight"] = _f32(layers["mlp"]["fc1"][i]).T
+        out[lp + "mlp.fc1.bias"] = _f32(layers["mlp"]["b1"][i])
+        out[lp + "mlp.fc2.weight"] = _f32(layers["mlp"]["fc2"][i]).T
+        out[lp + "mlp.fc2.bias"] = _f32(layers["mlp"]["b2"][i])
+    out[f"{p}post_layernorm.weight"] = _f32(params["post_ln"]["scale"])
+    out[f"{p}post_layernorm.bias"] = _f32(params["post_ln"]["bias"])
+    return out
+
+
+def export_projector(
+    params: dict, prefix: str = "multi_modal_projector."
+) -> Dict[str, np.ndarray]:
+    return {
+        f"{prefix}linear_1.weight": _f32(params["fc1"]).T,
+        f"{prefix}linear_1.bias": _f32(params["b1"]),
+        f"{prefix}linear_2.weight": _f32(params["fc2"]).T,
+        f"{prefix}linear_2.bias": _f32(params["b2"]),
+    }
+
+
+def export_perceiver(
+    params: dict, cfg, prefix: str = "model.connector."
+) -> Dict[str, np.ndarray]:
+    """Inverse of convert_perceiver (HF Idefics2Connector layout)."""
+    out: Dict[str, np.ndarray] = {}
+    p = prefix
+    rp = p + "perceiver_resampler."
+    mp = params["modality_proj"]
+    out[p + "modality_projection.gate_proj.weight"] = _f32(mp["w_gate"]).T
+    out[p + "modality_projection.up_proj.weight"] = _f32(mp["w_up"]).T
+    out[p + "modality_projection.down_proj.weight"] = _f32(mp["w_down"]).T
+    out[rp + "latents"] = _f32(params["latents"])
+    layers = params["layers"]
+    for i in range(cfg.num_layers):
+        lp = rp + f"layers.{i}."
+        out[lp + "input_latents_norm.weight"] = _f32(layers["latents_norm"][i])
+        out[lp + "input_context_norm.weight"] = _f32(layers["context_norm"][i])
+        for ours, theirs in (("wq", "q_proj"), ("wk", "k_proj"),
+                             ("wv", "v_proj"), ("wo", "o_proj")):
+            out[lp + f"self_attn.{theirs}.weight"] = _f32(layers["attn"][ours][i]).T
+        out[lp + "post_attention_layernorm.weight"] = _f32(layers["post_attn_norm"][i])
+        out[lp + "mlp.gate_proj.weight"] = _f32(layers["mlp"]["w_gate"][i]).T
+        out[lp + "mlp.up_proj.weight"] = _f32(layers["mlp"]["w_up"][i]).T
+        out[lp + "mlp.down_proj.weight"] = _f32(layers["mlp"]["w_down"][i]).T
+    out[rp + "norm.weight"] = _f32(params["final_norm"])
+    return out
+
+
+def export_leopard_llava(params: dict, cfg: VLMConfig) -> Dict[str, np.ndarray]:
+    """Full VLM params → LlavaForConditionalGeneration state dict (inverse of
+    convert_leopard_llava; key layout per
+    evaluations/models/llava_multiimg_siglip_anyres.py:179-230)."""
+    out = export_siglip_vision(params["vision"], cfg.vision,
+                               "vision_tower.vision_model.")
+    out.update(export_projector(params["projector"], "multi_modal_projector."))
+    out.update(export_decoder(params["text"], cfg.text, "language_model.model."))
+    return out
+
+
+def export_leopard_idefics2(params: dict, cfg: VLMConfig) -> Dict[str, np.ndarray]:
+    """Full VLM params → Idefics2ForConditionalGeneration state dict."""
+    out = export_siglip_vision(params["vision"], cfg.vision, "model.vision_model.")
+    out.update(export_perceiver(params["perceiver"], cfg.perceiver, "model.connector."))
+    out.update(export_decoder(params["text"], cfg.text, "model.text_model."))
+    return out
+
+
+def export_vlm(params: dict, cfg: VLMConfig) -> Dict[str, np.ndarray]:
+    """Architecture-dispatching full-model export."""
+    if cfg.architecture == "leopard_idefics2":
+        return export_leopard_idefics2(params, cfg)
+    return export_leopard_llava(params, cfg)
+
+
 # ---------------------------------------------------------------------------
 # Loading from disk (safetensors shards or a torch .bin) without network
 # ---------------------------------------------------------------------------

@@ -305,18 +305,20 @@ def forward(
     cos, sin = rope_cos_sin(positions, inv_freq)
 
     # attention implementation selection: cached decode always uses the dense
-    # (masked) path. Long uncached sequences: the Pallas flash kernel on TPU
-    # for inference prefill (measured ~1.3× dense at 4k on v5e); blockwise
-    # chunked attention for training (remat=True) and CPU — a pallas_call is
-    # not SPMD-partitioned, so under sequence-parallel training it would
-    # force an all-gather of the seq axis, while the chunked path partitions.
+    # (masked) path. Long uncached sequences on TPU take the Pallas flash
+    # kernel for BOTH prefill and remat training — measured on v5e at 4k:
+    # fwd 1.5 ms (3.2× dense), fwd+bwd 3.7 ms via the Pallas dq/dkv backward
+    # (3.6× the chunked path, 2.5× dense). Chunked remains the CPU path and
+    # the explicit choice for sequence-parallel training, where a pallas_call
+    # is not SPMD-partitioned and would force an all-gather of the seq axis
+    # (use attn_impl="ring" or "chunked" there).
     attn_impl = cfg.attn_impl
     if cache is not None:
         attn_impl = "dense"
     elif attn_impl == "auto":
         if s >= cfg.long_seq_threshold:
             on_tpu = jax.devices()[0].platform == "tpu"
-            attn_impl = "flash" if (on_tpu and not remat) else "chunked"
+            attn_impl = "flash" if on_tpu else "chunked"
         else:
             attn_impl = "dense"
 

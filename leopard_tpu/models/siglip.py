@@ -121,8 +121,13 @@ def forward(
     cfg: VisionConfig,
     pixel_values: jnp.ndarray,                      # [B, 3, H, W]
     patch_mask: Optional[jnp.ndarray] = None,       # [B, H/p, W/p] bool
+    remat: bool = False,
 ) -> jnp.ndarray:
-    """Returns [B, num_patches, hidden] post-LN features."""
+    """Returns [B, num_patches, hidden] post-LN features. remat=True
+    rematerializes each tower layer in the backward (the tower's per-layer
+    [tiles, patches, intermediate] activations otherwise dominate training
+    HBM at high tile counts — ≙ full recompute, which the reference applies
+    to the whole network incl. the tower via --recompute-granularity full)."""
     b = pixel_values.shape[0]
     p = cfg.patch_size
     nph, npw = pixel_values.shape[2] // p, pixel_values.shape[3] // p
@@ -202,6 +207,8 @@ def forward(
         h = res + (y @ lp["mlp"]["fc2"] + lp["mlp"]["b2"])
         return (h,), None
 
+    if remat:
+        body = jax.checkpoint(body, prevent_cse=False)
     layers = params["layers"]
     if cfg.feature_layer != -1:
         # stop at an earlier layer (CLIP/LLaVA feature select, e.g. -2)

@@ -45,9 +45,12 @@ def encode_images(
     cfg: VLMConfig,
     pixel_values: jnp.ndarray,                 # [N_tiles, 3, H, W]
     patch_mask: Optional[jnp.ndarray] = None,  # [N_tiles, H/p, W/p]
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Returns [N_tiles, tokens_per_tile, text_hidden]."""
-    feats = siglip.forward(params["vision"], cfg.vision, pixel_values, patch_mask)
+    feats = siglip.forward(
+        params["vision"], cfg.vision, pixel_values, patch_mask, remat=remat
+    )
     if cfg.architecture == "leopard_idefics2":
         from leopard_tpu.models import perceiver as perceiver_mod
 
@@ -94,7 +97,7 @@ def forward(
     """Full VLM forward → (logits [B, S, V] fp32, updated cache)."""
     embeds = jnp.take(params["text"]["embed_tokens"], jnp.maximum(tokens, 0), axis=0)
     if image_features is None and images is not None:
-        image_features = encode_images(params, cfg, images, patch_mask)
+        image_features = encode_images(params, cfg, images, patch_mask, remat=remat)
     if image_features is not None:
         is_image = tokens == cfg.image_token_id
         embeds = splice_image_features(embeds, image_features, is_image)

@@ -13,9 +13,11 @@ VMEM scratch across KV iterations and the output block is written once on the
 last KV step. GQA is expressed in the BlockSpec index maps (q head h reads kv
 head h // group) — no KV replication in HBM.
 
-Backward runs through the rematerialized blockwise-attention path
-(ops/chunked_attention.py) via custom_vjp: flash-speed forward for inference/
-prefill, flash-memory backward for training.
+Backward is a pair of Pallas kernels (FlashAttention-2 style): the forward
+additionally saves the per-row logsumexp; dk/dv accumulate over q blocks
+(computed per q-head and group-summed outside), dq accumulates over kv
+blocks, with delta = rowsum(dO·O) precomputed in XLA. bwd_impl="chunked"
+falls back to the rematerialized blockwise path (ops/chunked_attention.py).
 """
 
 from __future__ import annotations
@@ -35,14 +37,20 @@ def _flash_kernel(
     q_seg_ref, kv_seg_ref,          # scalar-prefetch-free segment refs (VMEM)
     q_ref, k_ref, v_ref,            # [BQ, D], [BK, D]
     o_ref,                          # [BQ, D]
-    m_scr, l_scr, acc_scr,          # VMEM scratch
-    *,
+    *rest,                          # [lse_ref if save_lse,] m/l/acc scratch
     scale: float,
     causal: bool,
     sliding_window: Optional[int],
     block_q: int,
     block_k: int,
+    save_lse: bool,
 ):
+    if save_lse:
+        # [BQ, 128] lane-replicated logsumexp (TPU tiling wants a 128 last
+        # dim) — only materialized for the training forward
+        lse_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        m_scr, l_scr, acc_scr = rest
     bb = pl.program_id(0)
     iq = pl.program_id(2)
     ik = pl.program_id(3)
@@ -107,14 +115,21 @@ def _flash_kernel(
     def _finalize():
         denom = jnp.maximum(l_scr[:, :1], 1e-30)
         o_ref[0, 0] = (acc_scr[:] / denom).astype(o_ref.dtype)
+        if save_lse:
+            lse_ref[0, 0] = jnp.broadcast_to(
+                m_scr[:, :1] + jnp.log(denom), (lse_ref.shape[2], 128)
+            )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "scale", "sliding_window", "block_q", "block_k"),
+    static_argnames=(
+        "causal", "scale", "sliding_window", "block_q", "block_k", "save_lse",
+    ),
 )
 def _flash_forward(
-    q, k, v, q_seg, kv_seg, *, causal, scale, sliding_window, block_q, block_k
+    q, k, v, q_seg, kv_seg, *, causal, scale, sliding_window, block_q, block_k,
+    save_lse=False,
 ):
     b, sq, hq, d = q.shape
     _, skv, hkv, _ = k.shape
@@ -137,6 +152,7 @@ def _flash_forward(
         sliding_window=sliding_window,
         block_q=block_q,
         block_k=block_k,
+        save_lse=save_lse,
     )
 
     out = pl.pallas_call(
@@ -156,52 +172,312 @@ def _flash_forward(
                          lambda bb, h, iq, ik, g=group: (bb, h // g, ik, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, d), lambda bb, h, iq, ik: (bb, h, iq, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, hq, sq, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, d), lambda bb, h, iq, ik: (bb, h, iq, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ] + ([
+            pl.BlockSpec(
+                (1, 1, block_q, 128), lambda bb, h, iq, ik: (bb, h, iq, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ] if save_lse else []),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, sq, d), q.dtype),
+        ] + ([
+            jax.ShapeDtypeStruct((b, hq, sq, 128), jnp.float32),
+        ] if save_lse else []),
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
     )(q_seg, kv_seg, qt, kt, vt)
-    return out.transpose(0, 2, 1, 3)
+    if save_lse:
+        out, lse = out
+        return out.transpose(0, 2, 1, 3), lse
+    return out[0].transpose(0, 2, 1, 3), None
+
+
+def _bwd_mask_and_p(
+    q_seg_ref, kv_seg_ref, q_ref, k_ref, lse_ref, bb, q_start, k_start,
+    *, scale, causal, sliding_window, block_q, block_k,
+):
+    """Recompute the probability block P = exp(S − lse) under the mask.
+    Shared by the dq and dk/dv kernels."""
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                                                  # [BQ, BK]
+    q_ids = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    k_ids = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    qseg = q_seg_ref[bb].reshape(block_q, 1)
+    kseg = kv_seg_ref[bb].reshape(1, block_k)
+    mask = (qseg == kseg) & (qseg != 0) & (kseg != 0)
+    if causal:
+        mask = mask & (q_ids >= k_ids)
+    if sliding_window is not None:
+        mask = mask & (q_ids - k_ids < sliding_window)
+    lse = lse_ref[0, 0][:, :1]                                 # [BQ, 1]
+    # explicit mask multiply: for fully-masked rows lse is ~NEG_INF and
+    # exp(s − lse) would otherwise blow up
+    p = jnp.where(mask, jnp.exp(s - lse), 0.0)                 # [BQ, BK]
+    return q, k, p
+
+
+def _should_run(q_start, k_start, *, causal, sliding_window, block_q, block_k):
+    run = True
+    if causal:
+        run = q_start + block_q - 1 >= k_start
+    if sliding_window is not None:
+        in_band = k_start + block_k - 1 > q_start - sliding_window
+        run = in_band if run is True else (run & in_band)
+    return run
+
+
+def _flash_bwd_dq_kernel(
+    q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dq_ref, dq_scr,
+    *, scale, causal, sliding_window, block_q, block_k,
+):
+    bb = pl.program_id(0)
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+    n_k = pl.num_programs(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q_start = iq * block_q
+    k_start = ik * block_k
+    run = _should_run(q_start, k_start, causal=causal,
+                      sliding_window=sliding_window,
+                      block_q=block_q, block_k=block_k)
+
+    @pl.when(run)
+    def _compute():
+        _, k, p = _bwd_mask_and_p(
+            q_seg_ref, kv_seg_ref, q_ref, k_ref, lse_ref, bb, q_start, k_start,
+            scale=scale, causal=causal, sliding_window=sliding_window,
+            block_q=block_q, block_k=block_k,
+        )
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )                                                      # [BQ, BK]
+        delta = delta_ref[0, 0][:, :1]
+        ds = p * (dp - delta) * scale
+        dq_scr[:] += jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(ik == n_k - 1)
+    def _fin():
+        dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref, dk_scr, dv_scr,
+    *, scale, causal, sliding_window, block_q, block_k,
+):
+    bb = pl.program_id(0)
+    ik = pl.program_id(2)
+    iq = pl.program_id(3)
+    n_q = pl.num_programs(3)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q_start = iq * block_q
+    k_start = ik * block_k
+    run = _should_run(q_start, k_start, causal=causal,
+                      sliding_window=sliding_window,
+                      block_q=block_q, block_k=block_k)
+
+    @pl.when(run)
+    def _compute():
+        q, _, p = _bwd_mask_and_p(
+            q_seg_ref, kv_seg_ref, q_ref, k_ref, lse_ref, bb, q_start, k_start,
+            scale=scale, causal=causal, sliding_window=sliding_window,
+            block_q=block_q, block_k=block_k,
+        )
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        dv_scr[:] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )                                                      # [BK, D]
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        delta = delta_ref[0, 0][:, :1]
+        ds = p * (dp - delta) * scale
+        dk_scr[:] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )                                                      # [BK, D]
+
+    @pl.when(iq == n_q - 1)
+    def _fin():
+        dk_ref[0, 0] = dk_scr[:]
+        dv_ref[0, 0] = dv_scr[:]
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9)
+    jax.jit,
+    static_argnames=("causal", "scale", "sliding_window", "block_q", "block_k"),
 )
-def _flash(q, k, v, q_seg, kv_seg, causal, scale, sliding_window, block_q, block_k):
-    return _flash_forward(
-        q, k, v, q_seg, kv_seg,
-        causal=causal, scale=scale, sliding_window=sliding_window,
+def _flash_backward(
+    q, k, v, q_seg, kv_seg, out, lse, g,
+    *, causal, scale, sliding_window, block_q, block_k,
+):
+    b, sq, hq, d = q.shape
+    _, skv, hkv, _ = k.shape
+    group = hq // hkv
+    block_q = min(block_q, sq)
+    block_k = min(block_k, skv)
+
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    dot_ = g.transpose(0, 2, 1, 3)
+    ot = out.transpose(0, 2, 1, 3)
+    # delta_i = Σ_d dO_id · O_id — elementwise, cheaper in XLA than in-kernel;
+    # lane-replicated to match the lse layout
+    delta = jnp.sum(
+        dot_.astype(jnp.float32) * ot.astype(jnp.float32), axis=-1
+    )
+    delta = jnp.broadcast_to(delta[..., None], (*delta.shape, 128))
+
+    common = dict(
+        scale=scale, causal=causal, sliding_window=sliding_window,
         block_q=block_q, block_k=block_k,
+    )
+    seg_q_spec_iq2 = pl.BlockSpec((b, block_q), lambda bb, h, iq, ik: (0, iq),
+                                  memory_space=pltpu.VMEM)
+    seg_k_spec_ik3 = pl.BlockSpec((b, block_k), lambda bb, h, iq, ik: (0, ik),
+                                  memory_space=pltpu.VMEM)
+
+    def qspec(index):
+        return pl.BlockSpec((1, 1, block_q, d), index, memory_space=pltpu.VMEM)
+
+    def kspec(index):
+        return pl.BlockSpec((1, 1, block_k, d), index, memory_space=pltpu.VMEM)
+
+    def rowspec(index):
+        return pl.BlockSpec((1, 1, block_q, 128), index,
+                            memory_space=pltpu.VMEM)
+
+    # dq: grid (B, Hq, Sq/BQ, Skv/BK), kv innermost
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, **common),
+        grid=(b, hq, sq // block_q, skv // block_k),
+        in_specs=[
+            seg_q_spec_iq2,
+            seg_k_spec_ik3,
+            qspec(lambda bb, h, iq, ik: (bb, h, iq, 0)),
+            kspec(lambda bb, h, iq, ik, gr=group: (bb, h // gr, ik, 0)),
+            kspec(lambda bb, h, iq, ik, gr=group: (bb, h // gr, ik, 0)),
+            qspec(lambda bb, h, iq, ik: (bb, h, iq, 0)),
+            rowspec(lambda bb, h, iq, ik: (bb, h, iq, 0)),
+            rowspec(lambda bb, h, iq, ik: (bb, h, iq, 0)),
+        ],
+        out_specs=qspec(lambda bb, h, iq, ik: (bb, h, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hq, sq, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+    )(q_seg, kv_seg, qt, kt, vt, dot_, lse, delta)
+
+    # dk/dv: grid (B, Hq, Skv/BK, Sq/BQ), q innermost; per-q-head partials
+    # are group-summed outside (GQA)
+    dk_ph, dv_ph = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, **common),
+        grid=(b, hq, skv // block_k, sq // block_q),
+        in_specs=[
+            pl.BlockSpec((b, block_q), lambda bb, h, ik, iq: (0, iq),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, block_k), lambda bb, h, ik, iq: (0, ik),
+                         memory_space=pltpu.VMEM),
+            qspec(lambda bb, h, ik, iq: (bb, h, iq, 0)),
+            kspec(lambda bb, h, ik, iq, gr=group: (bb, h // gr, ik, 0)),
+            kspec(lambda bb, h, ik, iq, gr=group: (bb, h // gr, ik, 0)),
+            qspec(lambda bb, h, ik, iq: (bb, h, iq, 0)),
+            rowspec(lambda bb, h, ik, iq: (bb, h, iq, 0)),
+            rowspec(lambda bb, h, ik, iq: (bb, h, iq, 0)),
+        ],
+        out_specs=[
+            kspec(lambda bb, h, ik, iq: (bb, h, ik, 0)),
+            kspec(lambda bb, h, ik, iq: (bb, h, ik, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, skv, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, hq, skv, d), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+    )(q_seg, kv_seg, qt, kt, vt, dot_, lse, delta)
+
+    dk = dk_ph.reshape(b, hkv, group, skv, d).sum(axis=2).astype(k.dtype)
+    dv = dv_ph.reshape(b, hkv, group, skv, d).sum(axis=2).astype(v.dtype)
+    return (
+        dq.transpose(0, 2, 1, 3),
+        dk.transpose(0, 2, 1, 3),
+        dv.transpose(0, 2, 1, 3),
     )
 
 
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10)
+)
+def _flash(q, k, v, q_seg, kv_seg, causal, scale, sliding_window, block_q,
+           block_k, bwd_impl):
+    out, _ = _flash_forward(
+        q, k, v, q_seg, kv_seg,
+        causal=causal, scale=scale, sliding_window=sliding_window,
+        block_q=block_q, block_k=block_k, save_lse=False,
+    )
+    return out
+
+
 def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, sliding_window,
-               block_q, block_k):
-    out = _flash(q, k, v, q_seg, kv_seg, causal, scale, sliding_window,
-                 block_q, block_k)
-    return out, (q, k, v, q_seg, kv_seg)
+               block_q, block_k, bwd_impl):
+    save_lse = bwd_impl != "chunked"
+    out, lse = _flash_forward(
+        q, k, v, q_seg, kv_seg,
+        causal=causal, scale=scale, sliding_window=sliding_window,
+        block_q=block_q, block_k=block_k, save_lse=save_lse,
+    )
+    return out, (q, k, v, q_seg, kv_seg, out, lse)
 
 
-def _flash_bwd(causal, scale, sliding_window, block_q, block_k, res, g):
-    from leopard_tpu.ops.chunked_attention import chunked_attention
+def _flash_bwd(causal, scale, sliding_window, block_q, block_k, bwd_impl,
+               res, g):
+    q, k, v, q_seg, kv_seg, out, lse = res
+    if bwd_impl == "chunked":
+        from leopard_tpu.ops.chunked_attention import chunked_attention
 
-    q, k, v, q_seg, kv_seg = res
+        def ref_fn(q, k, v):
+            return chunked_attention(
+                q, k, v, causal=causal,
+                q_segment_ids=q_seg, kv_segment_ids=kv_seg,
+                sliding_window=sliding_window,
+                scale=scale, chunk_size=block_k, remat=True,
+            )
 
-    def ref_fn(q, k, v):
-        return chunked_attention(
-            q, k, v, causal=causal, q_segment_ids=q_seg, kv_segment_ids=kv_seg,
-            sliding_window=sliding_window,
-            scale=scale, chunk_size=block_k, remat=True,
+        _, vjp = jax.vjp(ref_fn, q, k, v)
+        dq, dk, dv = vjp(g)
+    else:
+        dq, dk, dv = _flash_backward(
+            q, k, v, q_seg, kv_seg, out, lse, g,
+            causal=causal, scale=scale, sliding_window=sliding_window,
+            block_q=block_q, block_k=block_k,
         )
-
-    _, vjp = jax.vjp(ref_fn, q, k, v)
-    dq, dk, dv = vjp(g)
     return dq, dk, dv, None, None
 
 
@@ -220,12 +496,15 @@ def flash_attention(
     scale: Optional[float] = None,
     block_q: int = 512,
     block_k: int = 512,
+    bwd_impl: str = "flash",
 ) -> jnp.ndarray:
     """Flash attention on TPU. q: [B, Sq, Hq, D]; k/v: [B, Skv, Hkv, D].
 
     `sliding_window` masks q_pos - k_pos >= window (Mistral semantics,
     reference window arg: megatron_patch/model/idefics2/idefics_vlm_model.py:388)
-    and skips kv blocks fully outside the band."""
+    and skips kv blocks fully outside the band. `bwd_impl` selects the
+    gradient path: "flash" (Pallas dq + dk/dv kernels) or "chunked" (XLA
+    blockwise remat)."""
     b, sq, _, d = q.shape
     skv = k.shape[1]
     if scale is None:
@@ -239,5 +518,5 @@ def flash_attention(
         q_segment_ids.astype(jnp.int32), kv_segment_ids.astype(jnp.int32),
         causal, float(scale),
         int(sliding_window) if sliding_window is not None else None,
-        int(block_q), int(block_k),
+        int(block_q), int(block_k), bwd_impl,
     )

@@ -122,7 +122,9 @@ def token_cross_entropy(
     true_logit = jnp.take_along_axis(
         logits, targets[..., None].astype(jnp.int32), axis=-1
     )[..., 0]
-    nll = logz - true_logit
+    # weight-0 targets may be out-of-vocab sentinels (image token); their
+    # gather fills NaN, which 0-weight multiply would still propagate
+    nll = jnp.where(weights > 0, logz - true_logit, 0.0)
     total_w = jnp.maximum(jnp.sum(weights), 1e-8)
     return jnp.sum(nll * weights) / total_w, total_w
 
@@ -158,7 +160,8 @@ def chunked_cross_entropy(
         true_logit = jnp.take_along_axis(
             logits, tx[..., None].astype(jnp.int32), axis=-1
         )[..., 0]
-        nll = (logz - true_logit) * wx
+        # see token_cross_entropy: guard NaN fills from weight-0 OOB targets
+        nll = jnp.where(wx > 0, logz - true_logit, 0.0) * wx
         return (nll_sum + jnp.sum(nll), w_sum + jnp.sum(wx)), None
 
     (nll_sum, w_sum), _ = jax.lax.scan(

@@ -168,7 +168,10 @@ def test_flash_backward_via_chunked(interpret_mode):
     q, k, v = _rand_qkv(b=1, sq=8, skv=8, hq=2, hkv=1, d=4)
 
     def loss_flash(q, k, v):
-        return jnp.sum(flash_attention(q, k, v, causal=True, block_q=8, block_k=8) ** 2)
+        return jnp.sum(
+            flash_attention(q, k, v, causal=True, block_q=8, block_k=8,
+                            bwd_impl="chunked") ** 2
+        )
 
     def loss_ref(q, k, v):
         return jnp.sum(attention(q, k, v, causal=True) ** 2)
@@ -177,6 +180,56 @@ def test_flash_backward_via_chunked(interpret_mode):
     g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_f, g_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
+def _flash_vs_dense_grads(q, k, v, seg=None, window=None, block=8):
+    from leopard_tpu.ops.pallas.flash_attention import flash_attention
+
+    # non-uniform cotangent exercises dq/dk/dv beyond the symmetric sum case;
+    # zero it on padding rows (their outputs are ill-defined in both paths)
+    w = jnp.asarray(
+        np.random.RandomState(99).randn(*q.shape), jnp.float32
+    )
+    if seg is not None:
+        w = w * (seg != 0)[:, :, None, None]
+
+    def loss_flash(q, k, v):
+        out = flash_attention(
+            q, k, v, causal=True, q_segment_ids=seg, kv_segment_ids=seg,
+            sliding_window=window, block_q=block, block_k=block,
+        )
+        return jnp.sum(out * w)
+
+    def loss_ref(q, k, v):
+        out = attention(
+            q, k, v, causal=True, q_segment_ids=seg, kv_segment_ids=seg,
+            sliding_window=window,
+        )
+        return jnp.sum(out * w)
+
+    g_f = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_flash_pallas_backward_causal_gqa(interpret_mode):
+    """The Pallas dq/dkv backward kernels (default bwd_impl) must match the
+    dense-attention gradients, including GQA group summation."""
+    q, k, v = _rand_qkv(b=2, sq=16, skv=16, hq=4, hkv=2, d=8, seed=21)
+    _flash_vs_dense_grads(q, k, v)
+
+
+def test_flash_pallas_backward_segments(interpret_mode):
+    q, k, v = _rand_qkv(b=2, sq=16, skv=16, hq=2, hkv=2, d=8, seed=22)
+    seg = jnp.asarray(np.array([[1] * 10 + [0] * 6, [1] * 8 + [2] * 8]))
+    _flash_vs_dense_grads(q, k, v, seg=seg)
+
+
+def test_flash_pallas_backward_sliding_window(interpret_mode):
+    q, k, v = _rand_qkv(b=1, sq=24, skv=24, hq=2, hkv=1, d=8, seed=23)
+    _flash_vs_dense_grads(q, k, v, window=7)
 
 
 def test_flash_batch_gt1_segments(interpret_mode):

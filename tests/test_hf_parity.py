@@ -243,6 +243,140 @@ def test_export_roundtrip(tiny_llama):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_export_siglip_strict_hf_load(tiny_siglip):
+    """export_siglip_vision must produce a state dict that loads strictly
+    into HF SiglipVisionModel and reproduces its features."""
+    model, cfg, params = tiny_siglip
+    sd = convert_hf.export_siglip_vision(params, cfg, "vision_model.")
+    from transformers import SiglipVisionConfig, SiglipVisionModel
+
+    # vision_use_head=False: the pooling head is not part of the tower path
+    # and is absent from Leopard checkpoints
+    cfg2 = SiglipVisionConfig(**{**model.config.to_dict(), "vision_use_head": False})
+    model2 = SiglipVisionModel(cfg2).eval()
+    model2.load_state_dict({k: torch.tensor(v) for k, v in sd.items()}, strict=True)
+    pixels = np.random.RandomState(3).randn(2, 3, 56, 56).astype(np.float32)
+    with torch.no_grad():
+        want = model(torch.tensor(pixels)).last_hidden_state.numpy()
+        got = model2(torch.tensor(pixels)).last_hidden_state.numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_export_perceiver_roundtrip_exact():
+    """export_perceiver is the exact inverse of convert_perceiver on an HF
+    Idefics2 connector state dict (key-by-key tensor equality)."""
+    from transformers.models.idefics2.modeling_idefics2 import (
+        Idefics2PerceiverResampler,
+    )
+
+    from tests.test_idefics2 import _tiny_perceiver_cfgs
+
+    torch.manual_seed(11)
+    hf_cfg, ours = _tiny_perceiver_cfgs()
+    model = Idefics2PerceiverResampler(hf_cfg).eval()
+    with torch.no_grad():
+        model.latents.copy_(torch.randn_like(model.latents))
+    sd = {
+        f"model.connector.perceiver_resampler.{k}": v
+        for k, v in model.state_dict().items()
+    }
+    import torch.nn as nn
+
+    vision_hidden = 32
+    for name, shape in (("gate_proj", (96, vision_hidden)),
+                        ("up_proj", (96, vision_hidden)),
+                        ("down_proj", (64, 96))):
+        sd[f"model.connector.modality_projection.{name}.weight"] = torch.randn(shape)
+
+    params = convert_hf.convert_perceiver(sd, ours, "model.connector.")
+    out_sd = convert_hf.export_perceiver(params, ours, "model.connector.")
+    assert set(out_sd) == set(sd)
+    for k, v in out_sd.items():
+        np.testing.assert_allclose(
+            v, sd[k].detach().float().numpy(), rtol=1e-6, atol=1e-6, err_msg=k
+        )
+
+
+def _remap_to_runtime_layout(sd):
+    """wyu1 checkpoint layout → the installed transformers' module layout
+    (newer HF nests everything under `model.` and hoists lm_head)."""
+    out = {}
+    for k, v in sd.items():
+        if k == "language_model.lm_head.weight":
+            out["lm_head.weight"] = v
+        elif k.startswith("language_model.model."):
+            out["model.language_model." + k[len("language_model.model."):]] = v
+        else:
+            out["model." + k] = v
+    return out
+
+
+def test_export_full_llava_logit_parity():
+    """Round-trip gate (VERDICT #5): random VLM params → export_leopard_llava
+    → strict load into HF LlavaForConditionalGeneration → identical logits on
+    a multi-image prompt."""
+    import jax
+
+    from transformers import (
+        LlavaConfig,
+        LlavaForConditionalGeneration,
+        SiglipVisionConfig,
+    )
+
+    # pixel_shuffle_factor=1 matches stock HF Llava's projector wiring
+    base = cfgs.tiny_vlm()
+    cfg = cfgs.VLMConfig(
+        vision=base.vision,
+        text=base.text,
+        projector=cfgs.ProjectorConfig(
+            input_size=base.vision.hidden_size, hidden_size=64, dtype="float32"
+        ),
+        anyres=base.anyres,
+        image_token_id=base.image_token_id,
+        pixel_shuffle_factor=1,
+    )
+    params = vlm.init_params(cfg, __import__("jax").random.PRNGKey(42))
+    sd = convert_hf.export_leopard_llava(params, cfg)
+
+    vc = SiglipVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, image_size=56, patch_size=14,
+        attn_implementation="eager", vision_use_head=False,
+    )
+    tc = _tiny_llama_cfg(vocab_size=512, hidden_size=64)
+    hf_cfg = LlavaConfig(
+        vision_config=vc, text_config=tc, image_token_index=cfg.image_token_id,
+        vision_feature_select_strategy="full", vision_feature_layer=-1,
+        projector_hidden_act="gelu",
+    )
+    model = LlavaForConditionalGeneration(hf_cfg).eval()
+    model.load_state_dict(
+        {k: torch.tensor(v) for k, v in _remap_to_runtime_layout(sd).items()},
+        strict=True,
+    )
+
+    n_tiles, tok_per_tile = 2, 16  # (56/14)² patches, no pixel shuffle
+    rng = np.random.RandomState(0)
+    ids = rng.randint(1, 100, (1, 48)).astype(np.int64)
+    ids[0, 4 : 4 + n_tiles * tok_per_tile] = cfg.image_token_id
+    pixels = rng.randn(n_tiles, 3, 56, 56).astype(np.float32)
+    with torch.no_grad():
+        # the Leopard eval adapter feeds last_hidden_state (incl. the tower's
+        # post-LN) through the projector and splices at image-token positions
+        # (llava_multiimg_siglip_anyres.py:268-287); stock HF Llava instead
+        # selects hidden_states[-1] (pre-post-LN), so build the merged embeds
+        # the reference way and run the HF decoder on them.
+        feats = model.model.vision_tower(torch.tensor(pixels)).last_hidden_state
+        feats = model.model.multi_modal_projector(feats).reshape(-1, 64)
+        embeds = model.get_input_embeddings()(torch.tensor(ids))
+        embeds[ids == cfg.image_token_id] = feats
+        want = model(inputs_embeds=embeds).logits.numpy()
+    got, _ = vlm.forward(
+        params, cfg, jnp.asarray(ids.astype(np.int32)), images=jnp.asarray(pixels)
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-4)
+
+
 def test_clip_vision_parity():
     """CLIP tower (class token, pre-LN, quick-GELU, feature layer -2, drop
     CLS) vs HF CLIPVisionModel hidden_states[-2][:, 1:]."""

@@ -1,8 +1,16 @@
 """Training-step throughput benchmark (single chip).
 
-Measures tokens/sec for the full VLM train step (vision encode + decoder
-forward/backward with full remat + AdamW update) at the single-chip profile —
-the training-side counterpart of bench.py's prefill metric.
+Measures tokens/sec and approximate MFU for the full VLM train step (vision
+encode + decoder forward/backward, full remat everywhere incl. the tower,
+Pallas flash attention fwd+bwd, AdamW update) — the training-side counterpart
+of bench.py's prefill metric.
+
+Profile: the largest Leopard-LLaVA-shaped model whose full fp32-master +
+Adam training state fits one v5e chip's 16 GB HBM. Training state costs
+~18 bytes/param (4 master + 8 Adam + 4 fp32 grads + 2 bf16 cast), so the
+ceiling is ~0.85B params: hidden 2048 / 8 layers / GQA 16:8 / vocab 32768
+decoder + 12-layer SigLIP tower = 0.836B. (The axon remote-compile helper
+separately rejects training graphs ≳1B params — HBM binds first.)
 """
 
 import os
@@ -13,8 +21,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+V5E_BF16_FLOPS = 197e12
 
-def main(seq=2048, n_tiles=8, steps=5):
+
+def main(seq=4096, n_tiles=8, steps=8):
     import dataclasses
 
     import jax
@@ -29,20 +39,18 @@ def main(seq=2048, n_tiles=8, steps=5):
     from leopard_tpu.training.trainer import create_train_state, make_train_step
 
     cfg = _flagship_single_chip_cfg()
-    # single-chip training budget: fp32 masters + two Adam moments need ~12
-    # bytes/param — and the axon remote-compile helper rejects training
-    # graphs past ~1B params (see .claude/skills/verify/SKILL.md). Scale the
-    # profile to what compiles: 8-layer decoder + 12-layer vision tower.
     cfg = dataclasses.replace(
         cfg,
-        text=dataclasses.replace(cfg.text, num_layers=8),
+        text=dataclasses.replace(cfg.text, num_layers=8, vocab_size=32768),
         vision=dataclasses.replace(cfg.vision, num_layers=12),
+        image_token_id=32767,  # must stay inside the shrunk vocab
     )
     train_cfg = TrainConfig(
         seq_len=seq, global_batch_size=1, remat="full",
         optimizer=OptimizerConfig(lr=1e-5, warmup_steps=10, decay_steps=1000),
     )
     params = vlm.init_params(cfg, jax.random.PRNGKey(0))
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
     state = create_train_state(params, train_cfg)
     del params
     step = jax.jit(make_train_step(cfg, train_cfg), donate_argnums=(0,))
@@ -59,15 +67,21 @@ def main(seq=2048, n_tiles=8, steps=5):
     }
 
     state, metrics = step(state, batch)  # compile
-    _ = float(metrics["loss"])
+    loss = float(metrics["loss"])
+    assert np.isfinite(loss), f"non-finite loss {loss}"
     t0 = time.perf_counter()
     for _ in range(steps):
         state, metrics = step(state, batch)
     _ = float(metrics["loss"])
     dt = (time.perf_counter() - t0) / steps
+    # MFU counts useful model FLOPs only (6·N·D); full remat re-runs the
+    # forward in the backward, so hardware utilization is ~4/3 of this
+    mfu = 6 * n_params * seq / dt / V5E_BF16_FLOPS
     print(
         f"train step: {seq / dt:.0f} tokens/s/chip "
-        f"({dt * 1e3:.0f} ms/step, seq {seq}, {n_tiles} tiles, full remat)"
+        f"({dt * 1e3:.0f} ms/step, {n_params / 1e9:.3f}B params, seq {seq}, "
+        f"{n_tiles} tiles, full remat, flash fwd+bwd) "
+        f"MFU(6ND)={mfu * 100:.1f}% loss={loss:.3f}"
     )
 
 

@@ -60,10 +60,12 @@ def main():
         mgr = CheckpointManager(args.input, async_save=False)
         params, _ = mgr.restore()
         mgr.close()
-        sd = {}
-        if "text" in params:
-            prefix = "language_model.model." if args.arch == "leopard_llava" else "model."
-            sd.update(chf.export_decoder(params["text"], cfg.text, prefix))
+        if args.arch == "leopard_llava":
+            sd = chf.export_leopard_llava(params, cfg)
+        elif args.arch == "leopard_idefics2":
+            sd = chf.export_leopard_idefics2(params, cfg)
+        else:  # text-only families
+            sd = chf.export_decoder(params["text"], cfg.text, "model.")
         os.makedirs(args.output, exist_ok=True)
         try:
             from safetensors.numpy import save_file
