@@ -30,6 +30,9 @@ def main():
     p.add_argument("--shard", type=int, default=0)
     p.add_argument("--num-shards", type=int, default=1)
     p.add_argument("--max-samples", type=int, default=0)
+    p.add_argument("--batch-size", type=int, default=8,
+                   help="rows per engine batch (1 = serial driver); batched "
+                        "decode measured ~7x serial throughput on v5e")
     p.add_argument("--arch", default="leopard_llava",
                    choices=["leopard_llava", "leopard_idefics2"])
     args = p.parse_args()
@@ -45,7 +48,12 @@ def main():
         LeopardIdefics2EvalAdapter,
         LeopardLlavaEvalAdapter,
     )
-    from leopard_tpu.evaluation.harness import merge_all_bench_results, merge_shard_files, run_benchmark
+    from leopard_tpu.evaluation.harness import (
+        merge_all_bench_results,
+        merge_shard_files,
+        run_benchmark,
+        run_benchmark_batched,
+    )
     from leopard_tpu.evaluation.loaders import load_benchmark, write_jsonl
 
     tokenizer = build_tokenizer(args.tokenizer or args.checkpoint)
@@ -64,10 +72,17 @@ def main():
         rows = load_benchmark(dataset, root)
         if args.max_samples:
             rows = rows[: args.max_samples]
-        details = run_benchmark(
-            rows, adapter, dataset, args.setting,
-            shard=args.shard, num_shards=args.num_shards, progress=True,
-        )
+        if args.batch_size > 1:
+            details = run_benchmark_batched(
+                rows, adapter, dataset, args.setting,
+                shard=args.shard, num_shards=args.num_shards,
+                batch_size=args.batch_size, progress=True,
+            )
+        else:
+            details = run_benchmark(
+                rows, adapter, dataset, args.setting,
+                shard=args.shard, num_shards=args.num_shards, progress=True,
+            )
         shard_file = os.path.join(
             args.result_dir,
             f"{args.shard}_{args.setting}_{dataset}_shard_details.jsonl",

@@ -176,21 +176,25 @@ class VLMConfig:
 class MeshConfig:
     """Device-mesh layout. Axis sizes of 1 disable that parallelism.
 
-    Axes (order = ICI-major): data (DP over DCN/outer ICI), fsdp (optimizer/
-    param sharding over DP), expert (EP), seq (sequence/context parallel),
-    model (tensor parallel, innermost → fastest ICI).
+    Axes (order = ICI-major): data (DP over DCN/outer ICI), stage (pipeline
+    parallel — neighbor-only ppermute traffic, so it sits outer), fsdp
+    (optimizer/param sharding over DP), expert (EP), seq (sequence/context
+    parallel), model (tensor parallel, innermost → fastest ICI).
     """
 
     data: int = 1
+    stage: int = 1
     fsdp: int = 1
     expert: int = 1
     seq: int = 1
     model: int = 1
-    axis_names: Tuple[str, ...] = ("data", "fsdp", "expert", "seq", "model")
+    axis_names: Tuple[str, ...] = (
+        "data", "stage", "fsdp", "expert", "seq", "model"
+    )
 
     @property
     def shape(self) -> Tuple[int, ...]:
-        return (self.data, self.fsdp, self.expert, self.seq, self.model)
+        return (self.data, self.stage, self.fsdp, self.expert, self.seq, self.model)
 
     @property
     def num_devices(self) -> int:
@@ -236,6 +240,11 @@ class TrainConfig:
     seq_len: int = 16384
     global_batch_size: int = 128
     micro_batch_size: int = 1
+    # (start, increment, ramp_samples): global batch ramps from `start` to
+    # global_batch_size in steps of `increment`, spending ramp_samples
+    # uniformly across the increments (≙ Megatron --rampup-batch-size /
+    # update_num_microbatches, megatron_patch/training.py:564-575)
+    rampup_batch_size: Optional[Tuple[int, int, int]] = None
     train_steps: int = 10614
     eval_interval: int = 1000
     save_interval: int = 1000

@@ -9,14 +9,30 @@ max_new_tokens=128 and eos {128001, 128009}.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+import dataclasses
+from typing import List, Optional, Sequence
 
+import numpy as np
 from PIL import Image
 
 from leopard_tpu.config import GenerateConfig, VLMConfig
 from leopard_tpu.data.anyres import preprocess_tiles, tile_images
 from leopard_tpu.data.chat import build_eval_prompt
 from leopard_tpu.inference.engine import Engine
+
+
+@dataclasses.dataclass
+class PreparedSample:
+    """A row preprocessed for batched inference: tokenized prompt + pixel
+    tiles (possibly empty). `n_tiles` drives cost bucketing."""
+
+    prompt: np.ndarray                    # [S] int32 token ids
+    pixels: Optional[np.ndarray]          # [n_tiles, 3, H, W] or None
+    patch_mask: Optional[np.ndarray] = None
+
+    @property
+    def n_tiles(self) -> int:
+        return 0 if self.pixels is None else int(self.pixels.shape[0])
 
 
 class LeopardLlavaEvalAdapter:
@@ -43,7 +59,8 @@ class LeopardLlavaEvalAdapter:
     def load_images(self, paths: Sequence[str]):
         return [Image.open(p).convert("RGB") for p in paths]
 
-    def __call__(self, row: dict, instruction: str) -> str:
+    def prepare(self, row: dict, instruction: str) -> PreparedSample:
+        """Anyres tiling + prompt build only — no device work."""
         images = self.load_images(row["images_path"][: self.max_images])
         tiled = tile_images(
             images,
@@ -69,10 +86,28 @@ class LeopardLlavaEvalAdapter:
             image_token_id=self.cfg.image_token_id,
             layout=self.layout,
         )
-        result = self.engine.generate([prompt], images=pixels, gen_cfg=self.gen_cfg)
-        return self.tokenizer.decode(
-            result.tokens[0].tolist(), skip_special_tokens=True
+        return PreparedSample(prompt=np.asarray(prompt, np.int32), pixels=pixels)
+
+    def generate_prepared(self, batch: List[PreparedSample]) -> List[str]:
+        """One engine.generate call for a whole batch: prompts pad to the
+        batch's seq bucket; every row's tiles concatenate in row order (the
+        cumsum-gather splice consumes feature rows in flattened-batch order,
+        models/vlm.py::splice_image_features, so concatenation is exact)."""
+        prompts = [s.prompt for s in batch]
+        with_px = [s.pixels for s in batch if s.pixels is not None and s.n_tiles]
+        pixels = np.concatenate(with_px, axis=0) if with_px else None
+        masks = [s.patch_mask for s in batch if s.patch_mask is not None]
+        patch_mask = np.concatenate(masks, axis=0) if masks else None
+        result = self.engine.generate(
+            prompts, images=pixels, patch_mask=patch_mask, gen_cfg=self.gen_cfg
         )
+        return [
+            self.tokenizer.decode(t.tolist(), skip_special_tokens=True)
+            for t in result.tokens
+        ]
+
+    def __call__(self, row: dict, instruction: str) -> str:
+        return self.generate_prepared([self.prepare(row, instruction)])[0]
 
 
 class LeopardIdefics2EvalAdapter:
@@ -95,7 +130,7 @@ class LeopardIdefics2EvalAdapter:
         self.engine = Engine(cfg, params, self.gen_cfg)
         self._preprocess = preprocess_idefics2
 
-    def __call__(self, row: dict, instruction: str) -> str:
+    def prepare(self, row: dict, instruction: str) -> PreparedSample:
         from leopard_tpu.data.chat import build_idefics2_prompt
 
         images = [
@@ -113,9 +148,47 @@ class LeopardIdefics2EvalAdapter:
             image_token_id=self.cfg.image_token_id,
             fake_token_id=self.cfg.image_token_id - 1,
         )
+        return PreparedSample(
+            prompt=np.asarray(prompt, np.int32), pixels=pixels,
+            patch_mask=patch_mask,
+        )
+
+    def generate_prepared(self, batch: List[PreparedSample]) -> List[str]:
+        """Batched NaViT inference. preprocess_idefics2 pads each sample only
+        to its OWN batch max, so samples are re-padded (bottom/right zeros,
+        patch mask extended with False) to the cross-sample max before
+        concatenating — padding patches are masked out of attention and the
+        perceiver, so logits are unchanged."""
+        prompts = [s.prompt for s in batch]
+        with_px = [
+            (s.pixels, s.patch_mask)
+            for s in batch if s.pixels is not None and s.n_tiles
+        ]
+        pixels = patch_mask = None
+        if with_px:
+            hmax = max(p.shape[2] for p, _ in with_px)
+            wmax = max(p.shape[3] for p, _ in with_px)
+
+            def pad(p, m):
+                n, _, h, w = p.shape
+                pp = np.zeros((n, 3, hmax, wmax), p.dtype)
+                pp[:, :, :h, :w] = p
+                mm = np.zeros(
+                    (n, hmax * m.shape[1] // h, wmax * m.shape[2] // w), m.dtype
+                )
+                mm[:, : m.shape[1], : m.shape[2]] = m
+                return pp, mm
+
+            padded = [pad(p, m) for p, m in with_px]
+            pixels = np.concatenate([p for p, _ in padded], axis=0)
+            patch_mask = np.concatenate([m for _, m in padded], axis=0)
         result = self.engine.generate(
-            [prompt], images=pixels, patch_mask=patch_mask, gen_cfg=self.gen_cfg
+            prompts, images=pixels, patch_mask=patch_mask, gen_cfg=self.gen_cfg
         )
-        return self.tokenizer.decode(
-            result.tokens[0].tolist(), skip_special_tokens=True
-        )
+        return [
+            self.tokenizer.decode(t.tolist(), skip_special_tokens=True)
+            for t in result.tokens
+        ]
+
+    def __call__(self, row: dict, instruction: str) -> str:
+        return self.generate_prepared([self.prepare(row, instruction)])[0]

@@ -67,7 +67,12 @@ def parse_multi_choice_response(
 ) -> str:
     """Extract the chosen letter from a free-form response. Priority:
     bracketed "(A)", bare " A ", then option text containment; ties resolved
-    by last occurrence; no match → seeded random choice."""
+    by last occurrence; no match → seeded random choice.
+
+    Close transcription of eval_utils.py:277-329, which is itself the public
+    MMMU evaluation code (github.com/MMMU-Benchmark/MMMU); kept
+    step-equivalent (including variable roles like index_ans/with_brack) so
+    scores reproduce exactly."""
     for ch in [",", ".", "!", "?", ";", ":", "'"]:
         response = response.strip(ch)
     response = f" {response} "
@@ -139,7 +144,10 @@ _KEY_INDICATORS = [
 def parse_open_response(response: str) -> List[Union[str, float]]:
     """Pull candidate answers out of a free-form response: split into
     sentences, take the tail after answer-indicator phrases, extract numbers,
-    normalize."""
+    normalize.
+
+    Step-equivalent to eval_utils.py:393-443 (public MMMU evaluation code) —
+    parity-mandated for score reproducibility."""
     def key_subresponses(resp: str) -> List[str]:
         resp = resp.strip().strip(".").lower()
         subs = re.split(r"\.\s(?=[A-Z])|\n", resp)

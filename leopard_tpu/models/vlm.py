@@ -93,6 +93,8 @@ def forward(
     logits_indices: Optional[jnp.ndarray] = None,
     return_aux: bool = False,
     return_hidden: bool = False,
+    cp_mesh=None,                                  # Mesh for attn_impl="ring"
+    cp_axis: str = "seq",
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Full VLM forward → (logits [B, S, V] fp32, updated cache)."""
     embeds = jnp.take(params["text"]["embed_tokens"], jnp.maximum(tokens, 0), axis=0)
@@ -112,4 +114,6 @@ def forward(
         logits_indices=logits_indices,
         return_aux=return_aux,
         return_hidden=return_hidden,
+        cp_mesh=cp_mesh,
+        cp_axis=cp_axis,
     )

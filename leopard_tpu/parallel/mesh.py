@@ -20,11 +20,12 @@ from leopard_tpu.config import MeshConfig
 
 # Canonical axis names, outermost → innermost.
 DATA_AXIS = "data"
+STAGE_AXIS = "stage"
 FSDP_AXIS = "fsdp"
 EXPERT_AXIS = "expert"
 SEQ_AXIS = "seq"
 MODEL_AXIS = "model"
-AXIS_ORDER = (DATA_AXIS, FSDP_AXIS, EXPERT_AXIS, SEQ_AXIS, MODEL_AXIS)
+AXIS_ORDER = (DATA_AXIS, STAGE_AXIS, FSDP_AXIS, EXPERT_AXIS, SEQ_AXIS, MODEL_AXIS)
 
 
 def build_mesh(cfg: MeshConfig, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
@@ -51,15 +52,16 @@ def single_device_mesh() -> Mesh:
 
 
 def auto_mesh(model: int = 1, seq: int = 1, fsdp: int = 1, expert: int = 1,
+              stage: int = 1,
               devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     """Mesh with explicit inner axes; remaining devices become pure DP."""
     if devices is None:
         devices = jax.devices()
-    inner = model * seq * fsdp * expert
+    inner = model * seq * fsdp * expert * stage
     if len(devices) % inner != 0:
         raise ValueError(f"{len(devices)} devices not divisible by {inner}")
-    cfg = MeshConfig(data=len(devices) // inner, fsdp=fsdp, expert=expert,
-                     seq=seq, model=model)
+    cfg = MeshConfig(data=len(devices) // inner, stage=stage, fsdp=fsdp,
+                     expert=expert, seq=seq, model=model)
     return build_mesh(cfg, devices)
 
 

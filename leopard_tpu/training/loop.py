@@ -40,6 +40,37 @@ class SignalState:
         return self
 
 
+class BatchRamp:
+    """Global-batch-size ramp-up schedule.
+
+    ≙ Megatron's --rampup-batch-size and update_num_microbatches
+    (megatron/core/num_microbatches_calculator; invoked per step at
+    megatron_patch/training.py:564-575): batch size starts at `start` and
+    grows by `increment` at equal sample intervals until it reaches
+    `global_batch_size` after `ramp_samples` consumed samples."""
+
+    def __init__(self, start: int, increment: int, ramp_samples: int,
+                 global_batch_size: int):
+        assert increment > 0 and start <= global_batch_size
+        assert (global_batch_size - start) % increment == 0, (
+            "ramp span must be a multiple of the increment")
+        self.start = start
+        self.increment = increment
+        self.global_batch_size = global_batch_size
+        n_steps = (global_batch_size - start) // increment
+        # samples consumed at each intermediate size (Megatron divides the
+        # ramp samples evenly across increments)
+        self.samples_per_increment = (
+            ramp_samples // n_steps if n_steps else ramp_samples
+        )
+
+    def batch_size(self, consumed_samples: int) -> int:
+        if self.samples_per_increment <= 0:
+            return self.global_batch_size
+        steps = consumed_samples // self.samples_per_increment
+        return min(self.global_batch_size, self.start + steps * self.increment)
+
+
 def param_hash(params) -> str:
     """Deterministic hash of all parameters (host transfer; use sparingly).
     ≙ check_param_hashes_across_dp_replicas (megatron_patch/training.py:602) —
@@ -69,17 +100,37 @@ def train(
     signals = SignalState().install()
     start_time = time.time()
     nan_iters = 0
-    batches = iter(batches)
+    consumed_samples = 0
+    ramp = None
+    if train_cfg.rampup_batch_size is not None:
+        # batch-size ramp needs a size-aware provider; a plain iterable can't
+        # resize its batches (≙ the reference's rampup consistency check)
+        assert callable(batches), (
+            "rampup_batch_size requires `batches` to be a callable "
+            "batch_size -> batch"
+        )
+        ramp = BatchRamp(*train_cfg.rampup_batch_size,
+                         global_batch_size=train_cfg.global_batch_size)
+    if not callable(batches):
+        batches = iter(batches).__next__
+        fetch = lambda bs: batches()  # noqa: E731
+    else:
+        fetch = batches
 
     step = int(state.step)
     while step < train_cfg.train_steps:
         if profile_steps and step == profile_steps[0]:
             jax.profiler.start_trace(profile_dir)
 
+        cur_bs = (
+            ramp.batch_size(consumed_samples) if ramp
+            else train_cfg.global_batch_size
+        )
         with timers("data"):
-            batch = next(batches)
+            batch = fetch(cur_bs)
             if hasattr(batch, "as_dict"):
                 batch = batch.as_dict()
+        consumed_samples += cur_bs
 
         t0 = time.perf_counter()
         with timers("step"):
@@ -103,6 +154,8 @@ def train(
                 "step_time": step_time,
                 "data_time": timers.elapsed("data", reset=True),
                 "nan_iters": nan_iters,
+                "batch_size": cur_bs,
+                "consumed_samples": consumed_samples,
             }
             row.update(tracker.report())
             logger.log(step, row)

@@ -178,6 +178,8 @@ def vlm_loss(
     compute_dtype=jnp.bfloat16,
     remat: bool = True,
     loss_chunk: int = 1024,
+    cp_mesh=None,
+    cp_axis: str = "seq",
 ):
     """batch: tokens [B,S], loss_weights [B,S], segment_ids [B,S],
     optional images [N,3,H,W] (+patch_mask), optional positions.
@@ -199,6 +201,8 @@ def vlm_loss(
         remat=remat,
         return_aux=moe,
         return_hidden=True,
+        cp_mesh=cp_mesh,
+        cp_axis=cp_axis,
     )
     hidden = out[0]
     moe_aux = out[2] if moe else None
@@ -224,7 +228,7 @@ def vlm_loss(
 
 
 def make_train_step(cfg: VLMConfig, train_cfg: TrainConfig, frozen=(),
-                    grad_accum_steps: int = 1):
+                    grad_accum_steps: int = 1, cp_mesh=None, cp_axis: str = "seq"):
     """Returns train_step(state, batch) → (state, metrics); jit it with the
     caller's shardings. `frozen` names top-level param groups to freeze
     (≙ --freeze-clip-vision-tower / --freeze-llm / --freeze-perceiver,
@@ -232,14 +236,19 @@ def make_train_step(cfg: VLMConfig, train_cfg: TrainConfig, frozen=(),
     batch's leading dim into microbatches and accumulates gradients under a
     lax.scan (≙ the micro/global-batch split of train_step,
     megatron_patch/training.py:204; peak activation memory is one
-    microbatch)."""
+    microbatch). `cp_mesh` routes decoder attention through the ring kernel
+    over `cp_axis` when cfg.text.attn_impl == "ring" (context-parallel
+    training, ≙ the TE CP wiring at custom_layers/transformer_engine.py:444)."""
     tx = make_optimizer(train_cfg.optimizer)
     remat = train_cfg.remat != "none"
     compute_dtype = jnp.dtype(cfg.text.dtype)
+    if cfg.text.attn_impl != "ring":
+        cp_mesh = None
 
     def train_step(state: TrainState, batch: dict):
         def loss_fn(params, mb):
-            return vlm_loss(params, cfg, mb, compute_dtype, remat)
+            return vlm_loss(params, cfg, mb, compute_dtype, remat,
+                            cp_mesh=cp_mesh, cp_axis=cp_axis)
 
         if grad_accum_steps <= 1:
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -95,3 +95,67 @@ def test_idefics2_adapter_end_to_end(tmp_path):
     details = run_benchmark(rows, adapter, "slidevqa", "direct")
     assert len(details) == 1
     assert isinstance(details[0]["raw"], str)
+
+
+def test_batched_eval_matches_serial(tmp_path):
+    """run_benchmark_batched must produce the same responses/scores as the
+    serial driver (round-1 VERDICT Weak #6), across rows with ragged image
+    counts that land in different tile buckets."""
+    from leopard_tpu.evaluation.harness import run_benchmark_batched
+
+    cfg = cfgs.tiny_vlm()
+    params = vlm.init_params(cfg, jax.random.PRNGKey(0))
+    gen = GenerateConfig(max_new_tokens=4, greedy=True, eos_token_ids=(999999,))
+    adapter = LeopardLlavaEvalAdapter(cfg, params, DecodingFakeTokenizer(), gen_cfg=gen)
+    rows = _rows(str(tmp_path), n=3, imgs_per_row=1) + _rows(
+        str(tmp_path) , n=2, imgs_per_row=3
+    )
+    serial = run_benchmark(rows, adapter, "docvqa", "direct")
+    batched = run_benchmark_batched(
+        rows, adapter, "docvqa", "direct", batch_size=2
+    )
+    assert [d["raw"] for d in batched] == [d["raw"] for d in serial]
+    assert [d["correct"] for d in batched] == [d["correct"] for d in serial]
+
+
+def test_idefics2_batched_eval_repads_across_samples(tmp_path):
+    """Batched Idefics2 eval with different per-sample image grids: the
+    adapter re-pads to the cross-sample max, and responses match serial."""
+    from functools import partial
+
+    from leopard_tpu.data.idefics2_processor import preprocess_idefics2
+    from leopard_tpu.evaluation.harness import run_benchmark_batched
+
+    base = cfgs.tiny_vlm()
+    pcfg = cfgs.PerceiverConfig(
+        num_latents=4, num_layers=1, hidden_size=base.text.hidden_size,
+        num_heads=4, num_kv_heads=2, head_dim=16, intermediate_size=96,
+        dtype="float32",
+    )
+    vision = dataclasses.replace(base.vision, image_size=56)
+    cfg = dataclasses.replace(
+        base, vision=vision, perceiver=pcfg, architecture="leopard_idefics2",
+        pixel_shuffle_factor=1,
+        anyres=dataclasses.replace(base.anyres, tokens_per_tile=4),
+    )
+    params = vlm.init_params(cfg, jax.random.PRNGKey(1))
+    gen = GenerateConfig(max_new_tokens=3, greedy=True, eos_token_ids=(999999,))
+    adapter = LeopardIdefics2EvalAdapter(cfg, params, DecodingFakeTokenizer(), gen_cfg=gen)
+    adapter._preprocess = partial(preprocess_idefics2, shortest_edge=42, longest_edge=56)
+    # one wide image, one tall image → different padded grids per sample
+    rows = []
+    for i, size in enumerate([(90, 50), (50, 90)]):
+        p = os.path.join(str(tmp_path), f"var{i}.png")
+        Image.new("RGB", size, (10 * i, 0, 0)).save(p)
+        rows.append({
+            "images_path": [p],
+            "question": f"<image> q{i}?",
+            "options": None,
+            "answers": ["x"],
+            "ques_type": "open-ended",
+        })
+    serial = run_benchmark(rows, adapter, "slidevqa", "direct")
+    batched = run_benchmark_batched(
+        rows, adapter, "slidevqa", "direct", batch_size=2
+    )
+    assert [d["raw"] for d in batched] == [d["raw"] for d in serial]

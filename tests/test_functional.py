@@ -112,3 +112,48 @@ def test_golden_loss_first_step():
     loss = float(m["loss"])
     expected = np.log(cfg.text.vocab_size)  # ≈ 6.24 for vocab 512
     assert abs(loss - expected) < 1.0, (loss, expected)
+
+
+def test_batch_ramp_schedule():
+    """BatchRamp follows Megatron --rampup-batch-size semantics: equal sample
+    intervals per increment (megatron_patch/training.py:564-575)."""
+    from leopard_tpu.training.loop import BatchRamp
+
+    ramp = BatchRamp(4, 2, 12, global_batch_size=8)
+    # (8-4)/2 = 2 increments; 12/2 = 6 samples each
+    assert [ramp.batch_size(s) for s in (0, 5, 6, 11, 12, 100)] == [4, 4, 6, 6, 8, 8]
+    # no ramp span → always full size
+    assert BatchRamp(8, 2, 12, global_batch_size=8).batch_size(0) == 8
+
+
+def test_train_loop_with_rampup():
+    """train() with rampup_batch_size asks the provider for growing batch
+    sizes and completes (each size compiles its own step program)."""
+    from leopard_tpu.training.loop import train
+
+    cfg = cfgs.tiny_vlm()
+    tcfg = TrainConfig(
+        seq_len=16, global_batch_size=4, train_steps=4, log_interval=1000,
+        eval_interval=0, save_interval=0, remat="full",
+        rampup_batch_size=(2, 2, 4),
+        optimizer=OptimizerConfig(lr=5e-3, warmup_steps=2, decay_steps=50),
+    )
+    step = jax.jit(make_train_step(cfg, tcfg))
+    params = vlm.init_params(cfg, jax.random.PRNGKey(0))
+    state = create_train_state(params, tcfg)
+    requested = []
+
+    def provider(bs):
+        requested.append(bs)
+        rng = np.random.RandomState(len(requested))
+        ids = rng.randint(1, 100, (bs, 16)).astype(np.int32)
+        return {
+            "tokens": jnp.asarray(ids),
+            "loss_weights": jnp.ones((bs, 16), jnp.float32),
+            "segment_ids": jnp.ones((bs, 16), jnp.int32),
+        }
+
+    state = train(cfg, tcfg, state, step, provider)
+    # ramp: (4-2)/2 = 1 increment over 4 samples → steps at bs 2,2,4,4
+    assert requested == [2, 2, 4, 4]
+    assert int(state.step) == 4
