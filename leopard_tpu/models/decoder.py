@@ -236,6 +236,19 @@ def _layer(
             q, kk, vv, cp_mesh, axis=cp_axis, causal=True,
             segment_ids=segment_ids, sliding_window=cfg.sliding_window,
         )
+    elif attn_impl == "ring_local":
+        # already inside a shard_map whose manual axes include cp_axis (the
+        # 1F1B pipeline composes PP×CP this way); cp_mesh is the axis SIZE
+        from leopard_tpu.parallel.context_parallel import ring_attention_local
+
+        seg_local = (
+            segment_ids if segment_ids is not None
+            else jnp.ones((b, s), jnp.int32)
+        )
+        o = ring_attention_local(
+            q, kk, vv, seg_local, axis=cp_axis, n_shards=int(cp_mesh),
+            causal=True, sliding_window=cfg.sliding_window,
+        )
     elif quant_kv:
         from leopard_tpu.ops.attention import attention_quant_kv
 

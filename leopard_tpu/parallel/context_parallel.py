@@ -245,62 +245,86 @@ def ring_attention(
         return out[:, inv]
     if segment_ids is None:
         segment_ids = jnp.ones((b, s), jnp.int32)
-    s_local = s // n
 
     spec4 = P(None, axis, None, None)
     spec2 = P(None, axis)
 
     def body(q_l, k_l, v_l, seg_l):
-        my = jax.lax.axis_index(axis)
-        # local shapes: [B, S/n, H, D]
-        qg = q_l.astype(jnp.float32).reshape(b, s_local, hkv, group, d)
-        q_pos = my * s_local + jnp.arange(s_local, dtype=jnp.int32)
-
-        # mark accumulators as device-varying over the ring axis so the
-        # fori_loop carry types line up under shard_map's VMA tracking
-        def varying(x):
-            return jax.lax.pcast(x, axis, to="varying")
-
-        m = varying(jnp.full((b, hkv, group, s_local), NEG_INF, jnp.float32))
-        l = varying(jnp.zeros((b, hkv, group, s_local), jnp.float32))
-        acc = varying(jnp.zeros((b, hkv, group, s_local, d), jnp.float32))
-
-        perm = [(i, (i + 1) % n) for i in range(n)]
-
-        def ring_step(step, carry):
-            m, l, acc, k_cur, v_cur, seg_cur = carry
-            src = (my - step) % n  # which shard this KV block came from
-            kv_pos = src * s_local + jnp.arange(s_local, dtype=jnp.int32)
-            mask = (seg_l[:, :, None] == seg_cur[:, None, :]) & (
-                seg_l[:, :, None] != 0
-            ) & (seg_cur[:, None, :] != 0)
-            if causal:
-                mask = mask & (q_pos[None, :, None] >= kv_pos[None, None, :])
-            if sliding_window is not None:
-                mask = mask & (
-                    q_pos[None, :, None] - kv_pos[None, None, :] < sliding_window
-                )
-            m, l, acc = _block_attention_update(
-                m, l, acc, qg, k_cur.astype(jnp.float32), v_cur, mask, scale
-            )
-            # rotate KV to the next device (skipped after the last use)
-            if step < n - 1:
-                k_cur = jax.lax.ppermute(k_cur, axis, perm)
-                v_cur = jax.lax.ppermute(v_cur, axis, perm)
-                seg_cur = jax.lax.ppermute(seg_cur, axis, perm)
-            return m, l, acc, k_cur, v_cur, seg_cur
-
-        # unrolled (static n): enables ppermute/compute overlap scheduling
-        carry = (m, l, acc, k_l, v_l, seg_l)
-        for step in range(n):
-            carry = ring_step(step, carry)
-        m, l, acc = carry[0], carry[1], carry[2]
-        out = acc / jnp.maximum(l[..., None], 1e-30)
-        out = out.transpose(0, 3, 1, 2, 4).reshape(b, s_local, hq, d)
-        return out.astype(q_l.dtype)
+        return ring_attention_local(
+            q_l, k_l, v_l, seg_l, axis=axis, n_shards=n, causal=causal,
+            sliding_window=sliding_window, scale=scale,
+        )
 
     return shard_map(
         body, mesh=mesh,
         in_specs=(spec4, spec4, spec4, spec2),
         out_specs=spec4,
     )(q, k, v, segment_ids)
+
+
+def ring_attention_local(
+    q_l: jnp.ndarray,    # [B, S/n, Hq, D] — LOCAL shard (inside shard_map)
+    k_l: jnp.ndarray,
+    v_l: jnp.ndarray,
+    seg_l: jnp.ndarray,  # [B, S/n] local segment ids
+    *,
+    axis: str,
+    n_shards: int,
+    causal: bool = True,
+    sliding_window: Optional[int] = None,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Contiguous-layout ring attention on *local* shards, callable inside an
+    enclosing shard_map whose manual axes include `axis` (used by the 1F1B
+    pipeline to compose PP×CP in one SPMD program — the wrapper above is just
+    this plus the shard_map). Assumes contiguous sequence sharding."""
+    b, s_local, hq, d = q_l.shape
+    hkv = k_l.shape[2]
+    group = hq // hkv
+    n = n_shards
+    if scale is None:
+        scale = d**-0.5
+    my = jax.lax.axis_index(axis)
+    qg = q_l.astype(jnp.float32).reshape(b, s_local, hkv, group, d)
+    q_pos = my * s_local + jnp.arange(s_local, dtype=jnp.int32)
+
+    def varying(x):
+        return jax.lax.pcast(x, axis, to="varying")
+
+    m = varying(jnp.full((b, hkv, group, s_local), NEG_INF, jnp.float32))
+    l = varying(jnp.zeros((b, hkv, group, s_local), jnp.float32))
+    acc = varying(jnp.zeros((b, hkv, group, s_local, d), jnp.float32))
+
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def ring_step(step, carry):
+        m, l, acc, k_cur, v_cur, seg_cur = carry
+        src = (my - step) % n  # which shard this KV block came from
+        kv_pos = src * s_local + jnp.arange(s_local, dtype=jnp.int32)
+        mask = (seg_l[:, :, None] == seg_cur[:, None, :]) & (
+            seg_l[:, :, None] != 0
+        ) & (seg_cur[:, None, :] != 0)
+        if causal:
+            mask = mask & (q_pos[None, :, None] >= kv_pos[None, None, :])
+        if sliding_window is not None:
+            mask = mask & (
+                q_pos[None, :, None] - kv_pos[None, None, :] < sliding_window
+            )
+        m, l, acc = _block_attention_update(
+            m, l, acc, qg, k_cur.astype(jnp.float32), v_cur, mask, scale
+        )
+        # rotate KV to the next device (skipped after the last use)
+        if step < n - 1:
+            k_cur = jax.lax.ppermute(k_cur, axis, perm)
+            v_cur = jax.lax.ppermute(v_cur, axis, perm)
+            seg_cur = jax.lax.ppermute(seg_cur, axis, perm)
+        return m, l, acc, k_cur, v_cur, seg_cur
+
+    # unrolled (static n): enables ppermute/compute overlap scheduling
+    carry = (m, l, acc, k_l, v_l, seg_l)
+    for step in range(n):
+        carry = ring_step(step, carry)
+    m, l, acc = carry[0], carry[1], carry[2]
+    out = acc / jnp.maximum(l[..., None], 1e-30)
+    out = out.transpose(0, 3, 1, 2, 4).reshape(b, s_local, hq, d)
+    return out.astype(q_l.dtype)

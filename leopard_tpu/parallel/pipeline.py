@@ -80,6 +80,193 @@ def pipeline_apply(
     return stacked[-1]  # last stage's buffer
 
 
+def pipeline_1f1b(
+    layer_fn: Callable,     # (stage_params, x [mb,...], aux_mb) → y [mb,...]
+    head_fn: Callable,      # (head_params, y, aux_mb) → (nll_sum, w_sum)
+    stage_params,           # pytree, leaves [n_stages, ...]
+    head_params,            # pytree, replicated across stages
+    xs: jnp.ndarray,        # [M, mb, ...] stage-0 inputs (microbatch stream)
+    aux,                    # pytree, leaves [M, ...] per-microbatch constants
+    mesh: Mesh,
+    axis: str = "stage",
+    seq_axis: str | None = None,   # extra manual axis (CP inside layer_fn)
+    xs_spec: P | None = None,      # spec for xs (leading M dim unsharded)
+    aux_specs=None,                # pytree of specs matching aux
+):
+    """One-scan SPMD 1F1B pipeline schedule with fused loss head.
+
+    ≙ forward_backward_pipelining_without_interleaving
+    (megatron/core/pipeline_parallel/schedules.py:1148) + the P2P transport
+    (p2p_communication.py), recast as a single program: stages live on the
+    `axis` mesh dimension, activations move up and gradients move down via
+    `ppermute` each tick, and the schedule is encoded in tick arithmetic —
+    forward of microbatch m at stage s on tick m+s, backward on tick
+    m+2(n−1)−s. In steady state every tick does one forward and one backward
+    (classic 1F1B interleaving), at most 2(n−1−s)+1 activations are in flight
+    per stage (O(n) memory, the whole point of 1F1B vs GPipe), and the
+    backward RECOMPUTES the stage forward from a saved-input ring buffer
+    (`jax.vjp`), matching the reference's full-recompute training config.
+
+    The loss head (final norm + CE) runs fused at the last stage's forward
+    tick so its gradient seeds the same-tick backward — no extra pipeline
+    round-trip for the loss. head_fn returns UNNORMALIZED (nll_sum, w_sum);
+    returned grads are d(Σ nll)/dθ, so the caller divides by total w.
+
+    When `seq_axis` is given, layer_fn/head_fn run on sequence-sharded locals
+    (attention must use ring_attention_local over seq_axis); per-token-partial
+    parameter grads and loss sums are psum'd over it here.
+
+    Returns dict(nll_sum, w_sum, d_stage [n_stages,...], d_head, d_xs
+    [M, mb, ...]) — all replicated over `axis` except d_stage (stage-sharded).
+    """
+    n = mesh.shape[axis]
+    m_total = xs.shape[0]
+    ticks = m_total + 2 * (n - 1)
+    buf_slots = max(2 * n - 1, 1)
+    manual = {axis} | ({seq_axis} if seq_axis else set())
+
+    param_specs = jax.tree_util.tree_map(lambda _: P(axis), stage_params)
+    head_specs = jax.tree_util.tree_map(lambda _: P(), head_params)
+    if xs_spec is None:
+        xs_spec = P()
+    if aux_specs is None:
+        aux_specs = jax.tree_util.tree_map(lambda _: P(), aux)
+
+    def body(sp_l, hp, xs_l, aux_l):
+        s_idx = jax.lax.axis_index(axis)
+        my_params = jax.tree_util.tree_map(lambda p: p[0], sp_l)
+        is_first = s_idx == 0
+        is_last = s_idx == n - 1
+        up = [(i, i + 1) for i in range(n - 1)]
+        down = [(i + 1, i) for i in range(n - 1)]
+        mb_shape = xs_l.shape[1:]
+        f32 = jnp.float32
+
+        def vary(x):
+            # scan carries become device-varying after one tick; their inits
+            # must carry the same VMA type over every manual axis
+            have = set(getattr(jax.typeof(x), "vma", ()))
+            for ax in sorted(manual - have):
+                x = jax.lax.pcast(x, ax, to="varying")
+            return x
+
+        # params must be device-VARYING inside the vjps: for an invariant
+        # (replicated) differentiand, AD's transpose auto-psums its cotangent
+        # over the manual axes, which would mix other stages' (masked-out)
+        # head/layer grads into this stage's accumulator. Varying params keep
+        # grads local; the masked accumulation + explicit psums below do the
+        # correct reduction.
+        my_params = jax.tree_util.tree_map(vary, my_params)
+        hp = jax.tree_util.tree_map(vary, hp)
+
+        def dyn(tree, i):
+            return jax.tree_util.tree_map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, i, keepdims=False),
+                tree,
+            )
+
+        def tick(carry, t):
+            act, grad, xbuf, dxs, gp, gh, nll, w = carry
+
+            # ---- forward: microbatch m_f = t - s ----
+            m_f = t - s_idx
+            fwd_valid = (m_f >= 0) & (m_f < m_total)
+            mf = jnp.clip(m_f, 0, m_total - 1)
+            aux_f = dyn(aux_l, mf)
+            x_stream = jax.lax.dynamic_index_in_dim(xs_l, mf, keepdims=False)
+            x_in = jnp.where(is_first, x_stream, act)
+            y = layer_fn(my_params, x_in, aux_f)
+            # save this tick's input for the recompute-backward (ring buffer)
+            slot_f = mf % buf_slots
+            old_slot = jax.lax.dynamic_index_in_dim(xbuf, slot_f, keepdims=False)
+            xbuf = jax.lax.dynamic_update_index_in_dim(
+                xbuf, jnp.where(fwd_valid, x_in, old_slot), slot_f, axis=0
+            )
+
+            # ---- fused head at the last stage (same tick as its backward) --
+            def head_wrap(hp_, y_):
+                return head_fn(hp_, y_, aux_f)
+
+            (nll_mb, w_mb), head_vjp = jax.vjp(head_wrap, hp, y)
+            # seeds must match the outputs' device-varying (VMA) types
+            g_hp, dy = head_vjp((nll_mb * 0 + 1, w_mb * 0))
+            head_on = is_last & fwd_valid
+            nll = nll + jnp.where(head_on, nll_mb, 0.0)
+            w = w + jnp.where(head_on, w_mb, 0.0)
+            gh = jax.tree_util.tree_map(
+                lambda a, g: a + jnp.where(head_on, g.astype(f32), 0.0), gh, g_hp
+            )
+
+            # ---- backward: microbatch m_b = t - 2(n-1) + s ----
+            m_b = t - 2 * (n - 1) + s_idx
+            bwd_valid = (m_b >= 0) & (m_b < m_total)
+            mb = jnp.clip(m_b, 0, m_total - 1)
+            aux_b = dyn(aux_l, mb)
+            x_saved = jax.lax.dynamic_index_in_dim(
+                xbuf, mb % buf_slots, keepdims=False
+            )
+
+            def layer_wrap(p_, x_):
+                return layer_fn(p_, x_, aux_b)
+
+            _, layer_vjp = jax.vjp(layer_wrap, my_params, x_saved)
+            # at the last stage m_b == m_f, so the head's dy feeds directly
+            g_in = jnp.where(is_last, dy, grad)
+            g_p, dx = layer_vjp(g_in)
+            gp = jax.tree_util.tree_map(
+                lambda a, g: a + jnp.where(bwd_valid, g.astype(f32), 0.0), gp, g_p
+            )
+            old_row = jax.lax.dynamic_index_in_dim(dxs, mb, keepdims=False)
+            dxs = jax.lax.dynamic_update_index_in_dim(
+                dxs, jnp.where(is_first & bwd_valid, dx, old_row), mb, axis=0
+            )
+
+            # ---- neighbor exchange for the next tick ----
+            act_next = jax.lax.ppermute(y, axis, up)      # s → s+1
+            grad_next = jax.lax.ppermute(dx, axis, down)  # s → s-1
+            return (act_next, grad_next, xbuf, dxs, gp, gh, nll, w), None
+
+        carry0 = jax.tree_util.tree_map(vary, (
+            jnp.zeros(mb_shape, xs_l.dtype),
+            jnp.zeros(mb_shape, xs_l.dtype),
+            jnp.zeros((buf_slots,) + mb_shape, xs_l.dtype),
+            jnp.zeros_like(xs_l),
+            jax.tree_util.tree_map(lambda p: jnp.zeros(p.shape, f32), my_params),
+            jax.tree_util.tree_map(lambda p: jnp.zeros(p.shape, f32), hp),
+            jnp.zeros((), f32),
+            jnp.zeros((), f32),
+        ))
+        carry, _ = jax.lax.scan(tick, carry0, jnp.arange(ticks))
+        _, _, _, dxs, gp, gh, nll, w = carry
+
+        # reductions: loss/head/dxs live on single stages → psum over `axis`
+        # replicates them; with CP, per-token partials also sum over seq_axis
+        red = (axis,) + ((seq_axis,) if seq_axis else ())
+        nll = jax.lax.psum(nll, red)
+        w = jax.lax.psum(w, red)
+        gh = jax.tree_util.tree_map(lambda g: jax.lax.psum(g, red), gh)
+        dxs = jax.lax.psum(dxs, axis)
+        if seq_axis:
+            gp = jax.tree_util.tree_map(
+                lambda g: jax.lax.psum(g, seq_axis), gp
+            )
+        gp = jax.tree_util.tree_map(lambda g: g[None], gp)  # [1, ...] per stage
+        return nll, w, gp, gh, dxs
+
+    # d_xs keeps the xs sharding (per-token grads stay sequence-sharded)
+    nll, w, d_stage, d_head, d_xs = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(param_specs, head_specs, xs_spec, aux_specs),
+        out_specs=(P(), P(), param_specs, head_specs, xs_spec),
+        axis_names=frozenset(manual),
+    )(stage_params, head_params, xs, aux)
+    return {
+        "nll_sum": nll, "w_sum": w, "d_stage": d_stage, "d_head": d_head,
+        "d_xs": d_xs,
+    }
+
+
 def split_stages(stacked_layers, n_stages: int):
     """[L, ...] layer-stacked params → [n_stages, L/n_stages, ...] per leaf
     (the vision-tower ×PP trick at clip_encoder.py:325 becomes a reshape)."""
@@ -89,3 +276,10 @@ def split_stages(stacked_layers, n_stages: int):
         return p.reshape(n_stages, l // n_stages, *p.shape[1:])
 
     return jax.tree_util.tree_map(leaf, stacked_layers)
+
+
+def merge_stages(stage_stacked):
+    """Inverse of split_stages: [n_stages, L/n_stages, ...] → [L, ...]."""
+    return jax.tree_util.tree_map(
+        lambda p: p.reshape(p.shape[0] * p.shape[1], *p.shape[2:]), stage_stacked
+    )

@@ -164,9 +164,15 @@ def chunked_cross_entropy(
         nll = jnp.where(wx > 0, logz - true_logit, 0.0) * wx
         return (nll_sum + jnp.sum(nll), w_sum + jnp.sum(wx)), None
 
-    (nll_sum, w_sum), _ = jax.lax.scan(
-        body, (jnp.zeros(()), jnp.zeros(())), (hc, tc, wc)
+    # tie the carry init's device-varying (VMA) type to the inputs' so this
+    # works unchanged inside shard_map regions (e.g. the 1F1B pipeline head)
+    zero = (
+        jnp.zeros(())
+        + 0.0 * hidden.ravel()[0].astype(jnp.float32)
+        + 0.0 * weights.ravel()[0]
+        + 0.0 * targets.ravel()[0].astype(jnp.float32)
     )
+    (nll_sum, w_sum), _ = jax.lax.scan(body, (zero, zero), (hc, tc, wc))
     total_w = jnp.maximum(w_sum, 1e-8)
     return nll_sum / total_w, total_w
 
@@ -302,29 +308,36 @@ def make_train_step(cfg: VLMConfig, train_cfg: TrainConfig, frozen=(),
             grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
             loss = nll_sum * inv
             metrics = {"loss": loss, "tokens_in_loss": tw}
-        if frozen:
-            grads = {
-                k: (jax.tree_util.tree_map(jnp.zeros_like, v) if k in frozen else v)
-                for k, v in grads.items()
-            }
-        gnorm = optax.global_norm(grads)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        metrics = dict(metrics)
-        metrics["grad_norm"] = gnorm
-        metrics["nan_step"] = jnp.logical_not(jnp.isfinite(loss))
-        # skip the update entirely on NaN/inf loss (≙ NaN-iteration
-        # accounting, megatron_patch/training.py:325-337)
-        keep = jnp.isfinite(loss) & jnp.isfinite(gnorm)
-        new_params = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(keep, new, old), new_params, state.params
-        )
-        new_opt = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(keep, new, old) if hasattr(new, "shape") else new,
-            new_opt, state.opt_state,
-        )
-        return state.replace(
-            step=state.step + 1, params=new_params, opt_state=new_opt
-        ), metrics
+        return apply_gradients(tx, state, grads, loss, metrics, frozen=frozen)
 
     return train_step
+
+
+def apply_gradients(tx, state: TrainState, grads, loss, metrics, frozen=()):
+    """Freeze-mask, clip+adamw update, NaN-step skip — the shared tail of
+    every train step (≙ optimizer.step + NaN-iteration accounting,
+    megatron_patch/training.py:242-244,325-337)."""
+    if frozen:
+        grads = {
+            k: (jax.tree_util.tree_map(jnp.zeros_like, v) if k in frozen else v)
+            for k, v in grads.items()
+        }
+    gnorm = optax.global_norm(grads)
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    metrics = dict(metrics)
+    metrics["grad_norm"] = gnorm
+    metrics["nan_step"] = jnp.logical_not(jnp.isfinite(loss))
+    # skip the update entirely on NaN/inf loss (≙ NaN-iteration
+    # accounting, megatron_patch/training.py:325-337)
+    keep = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+    new_params = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(keep, new, old), new_params, state.params
+    )
+    new_opt = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(keep, new, old) if hasattr(new, "shape") else new,
+        new_opt, state.opt_state,
+    )
+    return state.replace(
+        step=state.step + 1, params=new_params, opt_state=new_opt
+    ), metrics

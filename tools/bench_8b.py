@@ -1,0 +1,144 @@
+"""Flagship benchmark: the REAL 8B Leopard-LLaVA profile on one v5e chip.
+
+Round-1 VERDICT Weak #4 asked for flagship-scale numbers next to the 1.5B
+stand-in's: with weight-only int8 (ops/quant.py) the 8B decoder (~7 GB int8)
+plus the SigLIP tower fits a single 16 GB v5e, so prefill/TTFT/decode are
+measurable without TP. Weights are random (throughput only): they are built
+host-side with numpy against jax.eval_shape of the real init (no 16 GB bf16
+materialization on device), quantized per output channel exactly like
+quantize_tree, and device_put once.
+
+Measures (16 tiles + 4096-token prompt, the BASELINE.md profile):
+  - encoder images/s (SigLIP-SO400M-14-364, flash attention)
+  - prefill tokens/s + TTFT
+  - decode tokens/s at batch 1 and batch 8 (int8 KV cache)
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUANT_TEXT_KEYS = {"wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down", "lm_head"}
+
+
+def build_host_params(cfg, quantize_text=True, seed=0):
+    """numpy param tree with the exact structure/dtypes of vlm.init_params,
+    with the decoder's matmul weights already int8-quantized (dict{q,s})."""
+    import jax
+    import ml_dtypes
+
+    from leopard_tpu.models import vlm
+
+    shapes = jax.eval_shape(lambda k: vlm.init_params(cfg, k), jax.random.PRNGKey(0))
+    rng = np.random.RandomState(seed)
+
+    def leaf(path, sd):
+        keys = [p.key for p in path if hasattr(p, "key")]
+        fan_in = sd.shape[-2] if len(sd.shape) >= 2 else sd.shape[-1]
+        arr = rng.standard_normal(sd.shape).astype(np.float32) * fan_in**-0.5
+        if "norm" in " ".join(keys) or keys[-1].startswith("ln"):
+            arr = np.ones(sd.shape, np.float32)
+        if quantize_text and keys[0] == "text" and keys[-1] in QUANT_TEXT_KEYS:
+            scale = np.maximum(np.abs(arr).max(axis=-2, keepdims=True) / 127.0, 1e-8)
+            q = np.clip(np.round(arr / scale), -127, 127).astype(np.int8)
+            return {"q": q, "s": scale.astype(np.float32)}
+        return arr.astype(ml_dtypes.bfloat16 if sd.dtype == np.dtype("bfloat16") else sd.dtype)
+
+    return jax.tree_util.tree_map_with_path(leaf, shapes)
+
+
+def main(n_tiles=16, seq=4096, new_tokens=128, decode_batches=(1, 8)):
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/leopard_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    import jax.numpy as jnp
+
+    from leopard_tpu import config as cfgs
+    from leopard_tpu.inference.engine import _decode, _prefill
+    from leopard_tpu.config import GenerateConfig
+    from leopard_tpu.models import siglip as siglip_mod
+    from leopard_tpu.models import vlm
+    from leopard_tpu.models.decoder import KVCache
+
+    cfg = cfgs.leopard_llava_8b()
+    print("building 8B host params (numpy, int8 decoder)...", flush=True)
+    t0 = time.perf_counter()
+    host = build_host_params(cfg)
+    nbytes = sum(a.nbytes for a in jax.tree_util.tree_leaves(host))
+    print(f"  built in {time.perf_counter()-t0:.0f}s, {nbytes/2**30:.2f} GiB", flush=True)
+    t0 = time.perf_counter()
+    params = jax.device_put(host)
+    jax.block_until_ready(params)
+    print(f"  device_put in {time.perf_counter()-t0:.0f}s", flush=True)
+    del host
+
+    tokens_per_tile = cfg.anyres.tokens_per_tile
+    ids = np.full((1, seq), 11, np.int32)
+    ids[0, 0] = 128000
+    ids[0, 8 : 8 + n_tiles * tokens_per_tile] = cfg.image_token_id
+    tokens = jnp.asarray(ids)
+    seg = jnp.ones((1, seq), jnp.int32)
+    images = jnp.asarray(
+        np.random.RandomState(0).randn(n_tiles, 3, 364, 364), jnp.bfloat16
+    )
+
+    # ---- encoder ----
+    @jax.jit
+    def encode(params, images):
+        return siglip_mod.forward(params["vision"], cfg.vision, images).sum()
+
+    np.asarray(encode(params, images))
+    t0 = time.perf_counter()
+    iters = 5
+    for _ in range(iters):
+        out = encode(params, images)
+    np.asarray(out)
+    enc_dt = (time.perf_counter() - t0) / iters
+    print(f"encoder: {n_tiles/enc_dt:.1f} images/s ({enc_dt*1e3:.1f} ms / {n_tiles} tiles)", flush=True)
+
+    # ---- prefill (encode + splice + decoder, logits at last position) ----
+    @jax.jit
+    def feats_fn(params, images):
+        return vlm.encode_images(params, cfg, images)
+
+    cache_len = 4096 + 256
+    cache = KVCache.create(cfg.text, 1, cache_len, quantized=True)
+    feats = feats_fn(params, images)
+    np.asarray(_prefill(params, cfg, tokens, seg, cache, feats)[0])
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        feats = feats_fn(params, images)
+        logits, cache2 = _prefill(params, cfg, tokens, seg, cache, feats)
+    np.asarray(logits)
+    dt = (time.perf_counter() - t0) / iters
+    print(f"prefill: {seq/dt:.1f} tok/s, TTFT {dt*1e3:.1f} ms ({n_tiles} tiles + {seq} tok)", flush=True)
+
+    # ---- decode ----
+    gen = GenerateConfig(max_new_tokens=new_tokens, greedy=True, eos_token_ids=(999999,))
+    for b in decode_batches:
+        toks_b = jnp.broadcast_to(tokens, (b, seq))
+        seg_b = jnp.ones((b, seq), jnp.int32)
+        cache_b = KVCache.create(cfg.text, b, cache_len, quantized=True)
+        logits_b, cache_b = _prefill(params, cfg, toks_b, seg_b, cache_b, None)
+        args = (params, cfg, gen, logits_b, toks_b, seg_b, cache_b,
+                jax.random.PRNGKey(0))
+        np.asarray(_decode(*args, new_tokens)[0])
+        t0 = time.perf_counter()
+        out = _decode(*args, new_tokens)[0]
+        np.asarray(out)
+        dt = time.perf_counter() - t0
+        print(
+            f"decode (int8 weights + int8 KV, batch {b}): "
+            f"{b*new_tokens/dt:.1f} tok/s total ({dt*1e3/new_tokens:.2f} ms/step)",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
