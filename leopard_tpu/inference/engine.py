@@ -40,10 +40,13 @@ def _encode_images(params, cfg: VLMConfig, pixel_values, patch_mask=None):
     return vlm.encode_images(params, cfg, pixel_values, patch_mask)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
 def _prefill(params, cfg: VLMConfig, tokens, seg, cache, image_features=None):
     """Returns (last-position logits [B, V], updated cache). Unembedding runs
-    only at each row's final valid position (logits_indices)."""
+    only at each row's final valid position (logits_indices). The cache is
+    DONATED: at 8B/batch-8 scale the in+out cache copies alone are ~4.6 GB,
+    which tipped a 16 GB chip into OOM — callers must thread the returned
+    cache and never reuse the argument."""
     lengths = jnp.sum(seg != 0, axis=1)
     logits, cache = vlm.forward(
         params, cfg, tokens,
@@ -55,10 +58,15 @@ def _prefill(params, cfg: VLMConfig, tokens, seg, cache, image_features=None):
     return logits[:, 0], cache
 
 
-@partial(jax.jit, static_argnames=("cfg", "gen_cfg", "max_new_tokens"))
+@partial(jax.jit, static_argnames=("cfg", "gen_cfg", "max_new_tokens"),
+         donate_argnames=("cache",))
 def _decode(params, cfg: VLMConfig, gen_cfg: GenerateConfig, first_logits,
             prompt_tokens, prompt_seg, cache, key, max_new_tokens: int):
-    """Scan decode loop. Returns generated tokens [B, max_new_tokens]."""
+    """Scan decode loop. Returns (gen_buf, gen_mask, lp_buf, final_cache).
+    The final cache is returned (even though most callers drop it) so XLA can
+    alias the DONATED input cache straight through the scan carry — without
+    an aliasable output the donation is "not usable" and batch-8 decode at 8B
+    keeps two cache copies live (~4.6 GB) and OOMs a 16 GB chip."""
     b = first_logits.shape[0]
     eos = jnp.asarray(gen_cfg.eos_token_ids, jnp.int32)
 
@@ -92,8 +100,8 @@ def _decode(params, cfg: VLMConfig, gen_cfg: GenerateConfig, first_logits,
     done0 = jnp.zeros((b,), jnp.bool_)
     carry = (cache, first_logits, key, done0, gen_buf, gen_mask0, lp_buf0)
     carry, _ = jax.lax.scan(step, carry, jnp.arange(max_new_tokens))
-    _, _, _, _, gen_buf, gen_mask, lp_buf = carry
-    return gen_buf, gen_mask, lp_buf
+    cache, _, _, _, gen_buf, gen_mask, lp_buf = carry
+    return gen_buf, gen_mask, lp_buf, cache
 
 
 @dataclasses.dataclass
@@ -196,7 +204,7 @@ class Engine:
             self.params, self.cfg, jnp.asarray(tokens), jnp.asarray(seg),
             cache, feats,
         )
-        gen_buf, gen_mask, lp_buf = _decode(
+        gen_buf, gen_mask, lp_buf, _ = _decode(
             self.params, self.cfg, gen_cfg, first_logits,
             jnp.asarray(tokens), jnp.asarray(seg), cache,
             jax.random.PRNGKey(gen_cfg.seed), gen_cfg.max_new_tokens,

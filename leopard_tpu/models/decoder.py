@@ -159,6 +159,7 @@ def _layer(
     segment_ids: Optional[jnp.ndarray] = None,
     cp_mesh=None,
     cp_axis: str = "seq",
+    layer_idx: Optional[jnp.ndarray] = None,   # required when cache_kv given
 ):
     b, s, h = x.shape
     p_attn = layer_params["attn"]
@@ -171,20 +172,31 @@ def _layer(
     q = apply_rope(q, cos, sin)
     kk = apply_rope(kk, cos, sin)
 
+    # Cached path: cache_kv holds the FULL layer-stacked buffers
+    # [L, B, S_max, ...], carried through the caller's layer scan. Only the
+    # s new tokens are scatter-written (a few KB per decode step), then this
+    # layer's slice is read back for attention. The previous design threaded
+    # per-layer caches as scan inputs + restacked outputs, which rewrote the
+    # ENTIRE cache every forward — at 8B/batch 8 that was ~4.6 GB/step of
+    # HBM traffic plus a second stacked buffer that pushed a 16 GB chip to
+    # the edge (measured 88 ms/decode-step; scatter-in-place removes both).
     new_kv = None
     quant_kv = cache_kv is not None and cache_kv[0].dtype == jnp.int8
+    if cache_kv is not None:
+        bidx = jnp.arange(b, dtype=jnp.int32)[:, None]
+        slots = cache_index[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :]
+
+        def read_layer(a):
+            return jax.lax.dynamic_index_in_dim(a, layer_idx, keepdims=False)
+
     if cache_kv is not None and not quant_kv:
-        ck, cv = cache_kv[:2]
-
-        def write(c, new, idx):
-            return jax.lax.dynamic_update_slice(c, new, (idx, 0, 0))
-
-        ck = jax.vmap(write)(ck, kk.astype(ck.dtype), cache_index)
-        cv = jax.vmap(write)(cv, vv.astype(cv.dtype), cache_index)
-        kk, vv = ck, cv
-        new_kv = (ck, cv)
+        ck_a, cv_a = cache_kv[:2]
+        ck_a = ck_a.at[layer_idx, bidx, slots].set(kk.astype(ck_a.dtype))
+        cv_a = cv_a.at[layer_idx, bidx, slots].set(vv.astype(cv_a.dtype))
+        kk, vv = read_layer(ck_a), read_layer(cv_a)
+        new_kv = (ck_a, cv_a)
     elif quant_kv:
-        ck, cv, ck_s, cv_s = cache_kv
+        ck_a, cv_a, ck_s_a, cv_s_a = cache_kv
 
         def q8(x):
             s = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1) / 127.0
@@ -195,18 +207,13 @@ def _layer(
 
         kk_q, kk_s = q8(kk)
         vv_q, vv_s = q8(vv)
-
-        def write(c, new, idx):
-            return jax.lax.dynamic_update_slice(c, new, (idx, 0, 0))
-
-        def write_s(c, new, idx):
-            return jax.lax.dynamic_update_slice(c, new, (idx, 0))
-
-        ck = jax.vmap(write)(ck, kk_q, cache_index)
-        cv = jax.vmap(write)(cv, vv_q, cache_index)
-        ck_s = jax.vmap(write_s)(ck_s, kk_s, cache_index)
-        cv_s = jax.vmap(write_s)(cv_s, vv_s, cache_index)
-        new_kv = (ck, cv, ck_s, cv_s)
+        ck_a = ck_a.at[layer_idx, bidx, slots].set(kk_q)
+        cv_a = cv_a.at[layer_idx, bidx, slots].set(vv_q)
+        ck_s_a = ck_s_a.at[layer_idx, bidx, slots].set(kk_s)
+        cv_s_a = cv_s_a.at[layer_idx, bidx, slots].set(vv_s)
+        ck, cv = read_layer(ck_a), read_layer(cv_a)
+        ck_s, cv_s = read_layer(ck_s_a), read_layer(cv_s_a)
+        new_kv = (ck_a, cv_a, ck_s_a, cv_s_a)
 
     if attn_impl == "chunked":
         from leopard_tpu.ops.chunked_attention import chunked_attention
@@ -376,22 +383,24 @@ def forward(
     if cache is not None:
         quantized = cache.quantized
 
+        # the stacked cache buffers ride in the scan CARRY and are updated by
+        # per-token scatters inside _layer — in place, never re-stacked (see
+        # the cache note in _layer)
         def body(carry, per_layer):
-            xs, = carry
-            if quantized:
-                lp, ck, cv, ck_s, cv_s = per_layer
-                kv_in = (ck, cv, ck_s, cv_s)
-            else:
-                lp, ck, cv = per_layer
-                kv_in = (ck, cv)
-            xs, new_kv, _ = _layer(xs, lp, cfg, cos, sin, mask, kv_in, cache.index)
-            return (xs,), new_kv
+            xs, *kv_in = carry
+            lp, li = per_layer
+            xs, new_kv, _ = _layer(
+                xs, lp, cfg, cos, sin, mask, tuple(kv_in), cache.index,
+                layer_idx=li,
+            )
+            return (xs, *new_kv), None
 
-        xs_in = (
-            (stacked, cache.k, cache.v, cache.k_scale, cache.v_scale)
-            if quantized else (stacked, cache.k, cache.v)
+        carry0 = (
+            (x, cache.k, cache.v, cache.k_scale, cache.v_scale)
+            if quantized else (x, cache.k, cache.v)
         )
-        (x,), new_kvs = jax.lax.scan(body, (x,), xs_in)
+        layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+        (x, *new_kvs), _ = jax.lax.scan(body, carry0, (stacked, layer_ids))
         new_cache = KVCache(
             k=new_kvs[0], v=new_kvs[1], seg=new_seg, index=new_index,
             k_scale=new_kvs[2] if quantized else None,

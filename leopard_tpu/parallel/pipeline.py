@@ -83,7 +83,7 @@ def pipeline_apply(
 def pipeline_1f1b(
     layer_fn: Callable,     # (stage_params, x [mb,...], aux_mb) → y [mb,...]
     head_fn: Callable,      # (head_params, y, aux_mb) → (nll_sum, w_sum)
-    stage_params,           # pytree, leaves [n_stages, ...]
+    stage_params,           # pytree, leaves [n_stages, ...] (or [v, n, ...])
     head_params,            # pytree, replicated across stages
     xs: jnp.ndarray,        # [M, mb, ...] stage-0 inputs (microbatch stream)
     aux,                    # pytree, leaves [M, ...] per-microbatch constants
@@ -92,6 +92,7 @@ def pipeline_1f1b(
     seq_axis: str | None = None,   # extra manual axis (CP inside layer_fn)
     xs_spec: P | None = None,      # spec for xs (leading M dim unsharded)
     aux_specs=None,                # pytree of specs matching aux
+    v_chunks: int = 1,             # virtual-PP chunks per device (interleaved)
 ):
     """One-scan SPMD 1F1B pipeline schedule with fused loss head.
 
@@ -107,6 +108,19 @@ def pipeline_1f1b(
     backward RECOMPUTES the stage forward from a saved-input ring buffer
     (`jax.vjp`), matching the reference's full-recompute training config.
 
+    With `v_chunks = v > 1` the schedule is the INTERLEAVED virtual-PP
+    variant (≙ forward_backward_pipelining_with_interleaving,
+    schedules.py:431): each device holds v non-contiguous model chunks,
+    global stage g = c·n + d, and `stage_params` leaves are [v, n, ...]
+    (see split_stages_interleaved). Writing microbatch m = q·n + r, chunk c
+    runs its forward on device d at tick q·v·n + c·n + r + d and its backward
+    at tick q·v·n + (2v−2−c)·n + r + 2(n−1) − d; the up/down `ppermute`s wrap
+    around the ring, which is exactly the chunk c → c+1 (device n−1 → 0)
+    hand-off. Total ticks drop from v(M + 2n − 2) to vM + vn + n − 2
+    chunk-ticks — the bubble shrinks by ≈(v−1)(n−2) chunk-ticks at the cost
+    of v× the in-flight saved inputs, matching Megatron's schedule exactly.
+    At v = 1 every formula reduces to the plain 1F1B above.
+
     The loss head (final norm + CE) runs fused at the last stage's forward
     tick so its gradient seeds the same-tick backward — no extra pipeline
     round-trip for the loss. head_fn returns UNNORMALIZED (nll_sum, w_sum);
@@ -116,16 +130,25 @@ def pipeline_1f1b(
     (attention must use ring_attention_local over seq_axis); per-token-partial
     parameter grads and loss sums are psum'd over it here.
 
-    Returns dict(nll_sum, w_sum, d_stage [n_stages,...], d_head, d_xs
-    [M, mb, ...]) — all replicated over `axis` except d_stage (stage-sharded).
+    Returns dict(nll_sum, w_sum, d_stage [n_stages,...] (or [v, n, ...]),
+    d_head, d_xs [M, mb, ...]) — all replicated over `axis` except d_stage
+    (stage-sharded).
     """
     n = mesh.shape[axis]
+    v = v_chunks
     m_total = xs.shape[0]
-    ticks = m_total + 2 * (n - 1)
-    buf_slots = max(2 * n - 1, 1)
+    # last tick = backward of microbatch M−1 (= q·n + r) at global stage 0:
+    # q·v·n + (2v−2)·n + r + 2(n−1); reduces to v·M + v·n + n − 3 when n | M
+    q_last, r_last = (m_total - 1) // n, (m_total - 1) % n
+    ticks = q_last * v * n + (2 * v - 2) * n + r_last + 2 * (n - 1) + 1
+    buf_slots = max(2 * v * n - 1, 1)
     manual = {axis} | ({seq_axis} if seq_axis else set())
 
-    param_specs = jax.tree_util.tree_map(lambda _: P(axis), stage_params)
+    plain = v == 1
+    if plain:
+        # normalize to the [v, n, ...] leaf contract internally
+        stage_params = jax.tree_util.tree_map(lambda p: p[None], stage_params)
+    param_specs = jax.tree_util.tree_map(lambda _: P(None, axis), stage_params)
     head_specs = jax.tree_util.tree_map(lambda _: P(), head_params)
     if xs_spec is None:
         xs_spec = P()
@@ -134,11 +157,15 @@ def pipeline_1f1b(
 
     def body(sp_l, hp, xs_l, aux_l):
         s_idx = jax.lax.axis_index(axis)
-        my_params = jax.tree_util.tree_map(lambda p: p[0], sp_l)
+        my_params = jax.tree_util.tree_map(lambda p: p[:, 0], sp_l)  # [v, ...]
         is_first = s_idx == 0
         is_last = s_idx == n - 1
-        up = [(i, i + 1) for i in range(n - 1)]
-        down = [(i + 1, i) for i in range(n - 1)]
+        # wrap-around rings: device n−1 → 0 hands the activation to the next
+        # chunk (and 0 → n−1 hands the gradient to the previous chunk); at
+        # v = 1 the wrapped value is never read (stage 0 pulls the stream,
+        # stage n−1 seeds from the fused head)
+        up = [(i, (i + 1) % n) for i in range(n)]
+        down = [(i, (i - 1) % n) for i in range(n)]
         mb_shape = xs_l.shape[1:]
         f32 = jnp.float32
 
@@ -168,62 +195,89 @@ def pipeline_1f1b(
         def tick(carry, t):
             act, grad, xbuf, dxs, gp, gh, nll, w = carry
 
-            # ---- forward: microbatch m_f = t - s ----
-            m_f = t - s_idx
-            fwd_valid = (m_f >= 0) & (m_f < m_total)
+            # ---- forward: u = t − d encodes (q, c, r): u = q·v·n + c·n + r,
+            # microbatch m_f = q·n + r, chunk c_f on this device ----
+            u = t - s_idx
+            u0 = jnp.maximum(u, 0)
+            uq, ur = u0 // n, u0 % n
+            c_f = uq % v
+            m_f = (uq // v) * n + ur
+            fwd_valid = (u >= 0) & (m_f < m_total)
             mf = jnp.clip(m_f, 0, m_total - 1)
             aux_f = dyn(aux_l, mf)
+            params_f = dyn(my_params, c_f)
             x_stream = jax.lax.dynamic_index_in_dim(xs_l, mf, keepdims=False)
-            x_in = jnp.where(is_first, x_stream, act)
-            y = layer_fn(my_params, x_in, aux_f)
-            # save this tick's input for the recompute-backward (ring buffer)
-            slot_f = mf % buf_slots
+            x_in = jnp.where(is_first & (c_f == 0), x_stream, act)
+            y = layer_fn(params_f, x_in, aux_f)
+            # save this tick's input for the recompute-backward (ring buffer,
+            # keyed by u — forwards are dense in t, so u is dense per device)
+            slot_f = u0 % buf_slots
             old_slot = jax.lax.dynamic_index_in_dim(xbuf, slot_f, keepdims=False)
             xbuf = jax.lax.dynamic_update_index_in_dim(
                 xbuf, jnp.where(fwd_valid, x_in, old_slot), slot_f, axis=0
             )
 
-            # ---- fused head at the last stage (same tick as its backward) --
+            # ---- fused head at the last GLOBAL stage (c = v−1, d = n−1),
+            # same tick as that stage's backward --
             def head_wrap(hp_, y_):
                 return head_fn(hp_, y_, aux_f)
 
             (nll_mb, w_mb), head_vjp = jax.vjp(head_wrap, hp, y)
             # seeds must match the outputs' device-varying (VMA) types
             g_hp, dy = head_vjp((nll_mb * 0 + 1, w_mb * 0))
-            head_on = is_last & fwd_valid
+            head_on = is_last & (c_f == v - 1) & fwd_valid
             nll = nll + jnp.where(head_on, nll_mb, 0.0)
             w = w + jnp.where(head_on, w_mb, 0.0)
             gh = jax.tree_util.tree_map(
                 lambda a, g: a + jnp.where(head_on, g.astype(f32), 0.0), gh, g_hp
             )
 
-            # ---- backward: microbatch m_b = t - 2(n-1) + s ----
-            m_b = t - 2 * (n - 1) + s_idx
-            bwd_valid = (m_b >= 0) & (m_b < m_total)
+            # ---- backward: wb = t − 2(n−1) + d encodes (q, c, r) with the
+            # reversed-chunk coefficient: wb = q·v·n + (2v−2−c)·n + r ----
+            wb = t - 2 * (n - 1) + s_idx
+            wb0 = jnp.maximum(wb, 0)
+            wq, wr = wb0 // n, wb0 % n
+            c_b = (2 * v - 2 - wq) % v
+            q_b = (wq - (2 * v - 2 - c_b)) // v
+            m_b = q_b * n + wr
+            bwd_valid = (wb >= 0) & (q_b >= 0) & (m_b < m_total)
             mb = jnp.clip(m_b, 0, m_total - 1)
             aux_b = dyn(aux_l, mb)
+            params_b = dyn(my_params, c_b)
+            u_b = (jnp.maximum(q_b, 0) * v + c_b) * n + wr
             x_saved = jax.lax.dynamic_index_in_dim(
-                xbuf, mb % buf_slots, keepdims=False
+                xbuf, u_b % buf_slots, keepdims=False
             )
 
             def layer_wrap(p_, x_):
                 return layer_fn(p_, x_, aux_b)
 
-            _, layer_vjp = jax.vjp(layer_wrap, my_params, x_saved)
-            # at the last stage m_b == m_f, so the head's dy feeds directly
-            g_in = jnp.where(is_last, dy, grad)
+            _, layer_vjp = jax.vjp(layer_wrap, params_b, x_saved)
+            # at the last global stage m_b == m_f, c_b == v−1, so the head's
+            # dy feeds directly into the same-tick backward
+            g_in = jnp.where(is_last & (c_b == v - 1), dy, grad)
             g_p, dx = layer_vjp(g_in)
             gp = jax.tree_util.tree_map(
-                lambda a, g: a + jnp.where(bwd_valid, g.astype(f32), 0.0), gp, g_p
+                lambda a, g: jax.lax.dynamic_update_index_in_dim(
+                    a,
+                    jax.lax.dynamic_index_in_dim(a, c_b, keepdims=False)
+                    + jnp.where(bwd_valid, g.astype(f32), 0.0),
+                    c_b, axis=0,
+                ),
+                gp, g_p,
             )
             old_row = jax.lax.dynamic_index_in_dim(dxs, mb, keepdims=False)
             dxs = jax.lax.dynamic_update_index_in_dim(
-                dxs, jnp.where(is_first & bwd_valid, dx, old_row), mb, axis=0
+                dxs,
+                jnp.where(is_first & (c_b == 0) & bwd_valid, dx, old_row),
+                mb, axis=0,
             )
 
-            # ---- neighbor exchange for the next tick ----
-            act_next = jax.lax.ppermute(y, axis, up)      # s → s+1
-            grad_next = jax.lax.ppermute(dx, axis, down)  # s → s-1
+            # ---- neighbor exchange for the next tick (rings wrap: the
+            # n−1 → 0 activation hop is the chunk c → c+1 hand-off, the
+            # 0 → n−1 gradient hop is chunk c → c−1) ----
+            act_next = jax.lax.ppermute(y, axis, up)
+            grad_next = jax.lax.ppermute(dx, axis, down)
             return (act_next, grad_next, xbuf, dxs, gp, gh, nll, w), None
 
         carry0 = jax.tree_util.tree_map(vary, (
@@ -250,7 +304,7 @@ def pipeline_1f1b(
             gp = jax.tree_util.tree_map(
                 lambda g: jax.lax.psum(g, seq_axis), gp
             )
-        gp = jax.tree_util.tree_map(lambda g: g[None], gp)  # [1, ...] per stage
+        gp = jax.tree_util.tree_map(lambda g: g[:, None], gp)  # [v, 1, ...]
         return nll, w, gp, gh, dxs
 
     # d_xs keeps the xs sharding (per-token grads stay sequence-sharded)
@@ -261,6 +315,8 @@ def pipeline_1f1b(
         out_specs=(P(), P(), param_specs, head_specs, xs_spec),
         axis_names=frozenset(manual),
     )(stage_params, head_params, xs, aux)
+    if plain:
+        d_stage = jax.tree_util.tree_map(lambda g: g[0], d_stage)
     return {
         "nll_sum": nll, "w_sum": w, "d_stage": d_stage, "d_head": d_head,
         "d_xs": d_xs,
@@ -282,4 +338,23 @@ def merge_stages(stage_stacked):
     """Inverse of split_stages: [n_stages, L/n_stages, ...] → [L, ...]."""
     return jax.tree_util.tree_map(
         lambda p: p.reshape(p.shape[0] * p.shape[1], *p.shape[2:]), stage_stacked
+    )
+
+
+def split_stages_interleaved(stacked_layers, n_devices: int, v_chunks: int):
+    """[L, ...] → [v, n, L/(v·n), ...] per leaf: leaf [c, d] holds the layers
+    of GLOBAL stage c·n + d, so each device owns v non-contiguous layer blocks
+    (≙ Megatron's interleaved virtual-PP model-chunk assignment,
+    schedules.py:431 / transformer_block.py layer offsets)."""
+    flat = split_stages(stacked_layers, n_devices * v_chunks)  # [v·n, Lc, ...]
+    return jax.tree_util.tree_map(
+        lambda p: p.reshape(v_chunks, n_devices, *p.shape[1:]), flat
+    )
+
+
+def merge_stages_interleaved(chunked):
+    """Inverse of split_stages_interleaved: [v, n, Lc, ...] → [L, ...]."""
+    return jax.tree_util.tree_map(
+        lambda p: p.reshape(p.shape[0] * p.shape[1] * p.shape[2], *p.shape[3:]),
+        chunked,
     )

@@ -28,7 +28,13 @@ from leopard_tpu.models import vlm
 from leopard_tpu.ops.attention import make_attention_mask
 from leopard_tpu.ops.norms import rms_norm
 from leopard_tpu.ops.rotary import compute_inv_freq, rope_cos_sin
-from leopard_tpu.parallel.pipeline import merge_stages, pipeline_1f1b, split_stages
+from leopard_tpu.parallel.pipeline import (
+    merge_stages,
+    merge_stages_interleaved,
+    pipeline_1f1b,
+    split_stages,
+    split_stages_interleaved,
+)
 from leopard_tpu.training.trainer import (
     TrainState,
     apply_gradients,
@@ -44,18 +50,23 @@ def make_pp_train_step(
     mesh,
     num_microbatches: Optional[int] = None,
     frozen=(),
+    virtual_chunks: int = 1,
 ):
     """Returns train_step(state, batch) → (state, metrics), to be jitted with
     the caller's shardings. Requires mesh.shape["stage"] > 1, an untied
     unembedding, dense (non-MoE) MLPs, and batch % num_microbatches == 0.
     CP engages automatically when mesh.shape["seq"] > 1 and
-    cfg.text.attn_impl == "ring"."""
+    cfg.text.attn_impl == "ring". `virtual_chunks` > 1 selects the
+    interleaved virtual-PP schedule (≙ --num-layers-per-virtual-pipeline-stage
+    / schedules.py:431): each device holds that many non-contiguous layer
+    chunks, shrinking the pipeline bubble by ≈(v−1)(n−2) chunk-ticks."""
     tcfg = cfg.text
     n_stages = mesh.shape["stage"]
+    v = virtual_chunks
     assert n_stages > 1, "use make_train_step for stage=1"
     assert not tcfg.tie_word_embeddings, "PP head assumes untied lm_head"
     assert tcfg.num_experts == 0, "MoE+PP not supported yet"
-    assert tcfg.num_layers % n_stages == 0
+    assert tcfg.num_layers % (n_stages * v) == 0
     m_total = num_microbatches or n_stages
     seq_n = mesh.shape.get("seq", 1)
     seq_axis = "seq" if (seq_n > 1 and tcfg.attn_impl == "ring") else None
@@ -169,7 +180,12 @@ def make_pp_train_step(
         else:
             xs_spec = aux_specs = None
 
-        stage_params = split_stages(p["text"]["layers"], n_stages)
+        if v > 1:
+            stage_params = split_stages_interleaved(
+                p["text"]["layers"], n_stages, v
+            )
+        else:
+            stage_params = split_stages(p["text"]["layers"], n_stages)
         head_params = {
             "final_norm": p["text"]["final_norm"],
             "lm_head": p["text"]["lm_head"],
@@ -178,7 +194,7 @@ def make_pp_train_step(
         res = pipeline_1f1b(
             layer_fn, head_fn, stage_params, head_params, xs, aux, mesh,
             axis="stage", seq_axis=seq_axis,
-            xs_spec=xs_spec, aux_specs=aux_specs,
+            xs_spec=xs_spec, aux_specs=aux_specs, v_chunks=v,
         )
         total_w = jnp.maximum(res["w_sum"], 1e-8)
         inv = 1.0 / total_w
@@ -192,9 +208,12 @@ def make_pp_train_step(
         scale = lambda t: jax.tree_util.tree_map(  # noqa: E731
             lambda g: g.astype(jnp.float32) * inv, t
         )
+        merged = (merge_stages_interleaved if v > 1 else merge_stages)(
+            res["d_stage"]
+        )
         g_text = {
             "embed_tokens": scale(g_emb["embed_tokens"]),
-            "layers": scale(merge_stages(res["d_stage"])),
+            "layers": scale(merged),
             "final_norm": scale(res["d_head"]["final_norm"]),
             "lm_head": scale(res["d_head"]["lm_head"]),
         }

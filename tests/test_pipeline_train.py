@@ -124,3 +124,60 @@ def test_pp_more_microbatches_and_no_images():
         float(pp_m["loss"]), float(seq_m["loss"]), rtol=1e-5
     )
     _assert_states_close(pp_state, seq_state)
+
+
+def test_pp_interleaved_matches_sequential():
+    """Interleaved virtual PP (v=2 chunks/device): 4 layers over 2 devices ×
+    2 chunks; grads must match the sequential step, incl. CP in-pipeline."""
+    cfg = cfgs.tiny_vlm()
+    cfg = dataclasses.replace(
+        cfg, text=dataclasses.replace(cfg.text, num_layers=4)
+    )
+    tcfg = _train_cfg()
+    params = vlm.init_params(cfg, jax.random.PRNGKey(4))
+    batch = _batch(cfg, b=4, seed=7)
+
+    state0 = create_train_state(params, tcfg)
+    seq_state, seq_m = jax.jit(make_train_step(cfg, tcfg))(state0, batch)
+
+    mesh = build_mesh(MeshConfig(data=2, stage=2, seq=1, model=2))
+    pp_step = make_pp_train_step(
+        cfg, tcfg, mesh, num_microbatches=4, virtual_chunks=2
+    )
+    state0b = create_train_state(params, tcfg)
+    pp_state, pp_m = jax.jit(pp_step)(state0b, batch)
+
+    np.testing.assert_allclose(
+        float(pp_m["loss"]), float(seq_m["loss"]), rtol=1e-5
+    )
+    _assert_states_close(pp_state, seq_state)
+
+
+def test_pp_interleaved_with_cp_matches_sequential():
+    """v=2 interleaved composed with ring attention (seq=2)."""
+    cfg = cfgs.tiny_vlm()
+    cfg = dataclasses.replace(
+        cfg,
+        text=dataclasses.replace(cfg.text, num_layers=4, attn_impl="ring"),
+    )
+    tcfg = _train_cfg()
+    params = vlm.init_params(cfg, jax.random.PRNGKey(5))
+    batch = _batch(cfg, seed=9)
+
+    dense_cfg = dataclasses.replace(
+        cfg, text=dataclasses.replace(cfg.text, attn_impl="dense")
+    )
+    state0 = create_train_state(params, tcfg)
+    seq_state, seq_m = jax.jit(make_train_step(dense_cfg, tcfg))(state0, batch)
+
+    mesh = build_mesh(MeshConfig(data=2, stage=2, seq=2, model=1))
+    pp_step = make_pp_train_step(
+        cfg, tcfg, mesh, num_microbatches=2, virtual_chunks=2
+    )
+    state0b = create_train_state(params, tcfg)
+    pp_state, pp_m = jax.jit(pp_step)(state0b, batch)
+
+    np.testing.assert_allclose(
+        float(pp_m["loss"]), float(seq_m["loss"]), rtol=1e-5
+    )
+    _assert_states_close(pp_state, seq_state)

@@ -34,14 +34,23 @@ def build_host_params(cfg, quantize_text=True, seed=0):
     from leopard_tpu.models import vlm
 
     shapes = jax.eval_shape(lambda k: vlm.init_params(cfg, k), jax.random.PRNGKey(0))
-    rng = np.random.RandomState(seed)
+    # weight VALUES are irrelevant for throughput (dense-matmul timing is
+    # data-independent); tile one random megablock instead of drawing 8B
+    # samples on the single host core (~18 min → seconds)
+    block = np.random.default_rng(seed).standard_normal(1 << 20).astype(np.float32)
+
+    def fill(shape, scale):
+        n = int(np.prod(shape)) if shape else 1
+        reps = -(-n // block.size)
+        return (np.tile(block, reps)[:n] * scale).reshape(shape)
 
     def leaf(path, sd):
         keys = [p.key for p in path if hasattr(p, "key")]
         fan_in = sd.shape[-2] if len(sd.shape) >= 2 else sd.shape[-1]
-        arr = rng.standard_normal(sd.shape).astype(np.float32) * fan_in**-0.5
         if "norm" in " ".join(keys) or keys[-1].startswith("ln"):
             arr = np.ones(sd.shape, np.float32)
+        else:
+            arr = fill(sd.shape, fan_in**-0.5)
         if quantize_text and keys[0] == "text" and keys[-1] in QUANT_TEXT_KEYS:
             scale = np.maximum(np.abs(arr).max(axis=-2, keepdims=True) / 127.0, 1e-8)
             q = np.clip(np.round(arr / scale), -127, 127).astype(np.int8)
@@ -68,7 +77,19 @@ def main(n_tiles=16, seq=4096, new_tokens=128, decode_batches=(1, 8)):
     cfg = cfgs.leopard_llava_8b()
     print("building 8B host params (numpy, int8 decoder)...", flush=True)
     t0 = time.perf_counter()
-    host = build_host_params(cfg)
+    cache_file = "/tmp/leopard8b_host_params.pkl"
+    if os.path.exists(cache_file):
+        import pickle
+
+        with open(cache_file, "rb") as f:
+            host = pickle.load(f)
+        print("  (loaded from cache)", flush=True)
+    else:
+        host = build_host_params(cfg)
+        import pickle
+
+        with open(cache_file, "wb") as f:
+            pickle.dump(host, f, protocol=4)
     nbytes = sum(a.nbytes for a in jax.tree_util.tree_leaves(host))
     print(f"  built in {time.perf_counter()-t0:.0f}s, {nbytes/2**30:.2f} GiB", flush=True)
     t0 = time.perf_counter()
@@ -107,13 +128,16 @@ def main(n_tiles=16, seq=4096, new_tokens=128, decode_batches=(1, 8)):
         return vlm.encode_images(params, cfg, images)
 
     cache_len = 4096 + 256
-    cache = KVCache.create(cfg.text, 1, cache_len, quantized=True)
     feats = feats_fn(params, images)
+    cache = KVCache.create(cfg.text, 1, cache_len, quantized=True)
     np.asarray(_prefill(params, cfg, tokens, seg, cache, feats)[0])
 
+    # the cache argument is donated, so each iteration creates a fresh one
+    # (zeros init ≈ 0.3 ms at this size — noise next to the 780 ms prefill)
     t0 = time.perf_counter()
     for _ in range(iters):
         feats = feats_fn(params, images)
+        cache = KVCache.create(cfg.text, 1, cache_len, quantized=True)
         logits, cache2 = _prefill(params, cfg, tokens, seg, cache, feats)
     np.asarray(logits)
     dt = (time.perf_counter() - t0) / iters
@@ -122,15 +146,32 @@ def main(n_tiles=16, seq=4096, new_tokens=128, decode_batches=(1, 8)):
     # ---- decode ----
     gen = GenerateConfig(max_new_tokens=new_tokens, greedy=True, eos_token_ids=(999999,))
     for b in decode_batches:
+        # fill the 4096-token context in 512-token chunks: the cached-prefill
+        # path uses dense masked attention whose [B,H,G,q,kv] scores would be
+        # 18 GB at q=4096×batch 8 — chunking caps the transient at q=512
+        # while decode still attends the full context
+        chunk = 2048 // b  # caps the [B,H,G,q,kv] f32 score transient ~1 GiB
+
+        def fill_context(b):
+            # chunked prefill: donation chains cache buffers; full-4096
+            # dense cached attention at batch 8 would transiently need 18 GB
+            cache_b = KVCache.create(cfg.text, b, cache_len, quantized=True)
+            logits_b = None
+            for off in range(0, seq, chunk):
+                toks_c = jnp.broadcast_to(tokens[:, off : off + chunk], (b, chunk))
+                seg_c = jnp.ones((b, chunk), jnp.int32)
+                logits_b, cache_b = _prefill(params, cfg, toks_c, seg_c, cache_b, None)
+            return logits_b, cache_b
+
         toks_b = jnp.broadcast_to(tokens, (b, seq))
         seg_b = jnp.ones((b, seq), jnp.int32)
-        cache_b = KVCache.create(cfg.text, b, cache_len, quantized=True)
-        logits_b, cache_b = _prefill(params, cfg, toks_b, seg_b, cache_b, None)
-        args = (params, cfg, gen, logits_b, toks_b, seg_b, cache_b,
-                jax.random.PRNGKey(0))
-        np.asarray(_decode(*args, new_tokens)[0])
+        logits_b, cache_b = fill_context(b)
+        np.asarray(_decode(params, cfg, gen, logits_b, toks_b, seg_b, cache_b,
+                           jax.random.PRNGKey(0), new_tokens)[0])
+        logits_b, cache_b = fill_context(b)  # decode donated the cache
         t0 = time.perf_counter()
-        out = _decode(*args, new_tokens)[0]
+        out = _decode(params, cfg, gen, logits_b, toks_b, seg_b, cache_b,
+                      jax.random.PRNGKey(0), new_tokens)[0]
         np.asarray(out)
         dt = time.perf_counter() - t0
         print(
