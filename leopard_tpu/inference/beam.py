@@ -133,7 +133,8 @@ def beam_search(
     cache = KVCache.create(engine.cfg.text, 1, cache_len)
     feats = engine.encode_images(images, patch_mask) if images is not None else None
     first_logits, cache = _prefill(
-        engine.params, engine.cfg, jnp.asarray(tokens), jnp.asarray(seg), cache, feats
+        engine.params, engine.cfg, jnp.asarray(tokens), jnp.asarray(seg),
+        cache, feats, fresh=True,
     )
     toks, n = _beam_decode(
         engine.params, engine.cfg, first_logits, cache,

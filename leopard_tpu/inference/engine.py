@@ -40,13 +40,17 @@ def _encode_images(params, cfg: VLMConfig, pixel_values, patch_mask=None):
     return vlm.encode_images(params, cfg, pixel_values, patch_mask)
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
-def _prefill(params, cfg: VLMConfig, tokens, seg, cache, image_features=None):
+@partial(jax.jit, static_argnames=("cfg", "fresh"), donate_argnames=("cache",))
+def _prefill(params, cfg: VLMConfig, tokens, seg, cache, image_features=None,
+             fresh: bool = False):
     """Returns (last-position logits [B, V], updated cache). Unembedding runs
     only at each row's final valid position (logits_indices). The cache is
     DONATED: at 8B/batch-8 scale the in+out cache copies alone are ~4.6 GB,
     which tipped a 16 GB chip into OOM — callers must thread the returned
-    cache and never reuse the argument."""
+    cache and never reuse the argument. `fresh=True` (single-shot prefill
+    into a just-created cache — the generate() path) routes attention through
+    the fast uncached tiers (Pallas flash on TPU) instead of the dense sweep
+    over the cache buffer."""
     lengths = jnp.sum(seg != 0, axis=1)
     logits, cache = vlm.forward(
         params, cfg, tokens,
@@ -54,6 +58,7 @@ def _prefill(params, cfg: VLMConfig, tokens, seg, cache, image_features=None):
         segment_ids=seg,
         cache=cache,
         logits_indices=jnp.maximum(lengths - 1, 0),
+        fresh_cache=fresh,
     )
     return logits[:, 0], cache
 
@@ -202,7 +207,7 @@ class Engine:
 
         first_logits, cache = _prefill(
             self.params, self.cfg, jnp.asarray(tokens), jnp.asarray(seg),
-            cache, feats,
+            cache, feats, fresh=True,
         )
         gen_buf, gen_mask, lp_buf, _ = _decode(
             self.params, self.cfg, gen_cfg, first_logits,

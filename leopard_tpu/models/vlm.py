@@ -95,6 +95,7 @@ def forward(
     return_hidden: bool = False,
     cp_mesh=None,                                  # Mesh for attn_impl="ring"
     cp_axis: str = "seq",
+    fresh_cache: bool = False,   # see decoder.forward — flash-tier prefill
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Full VLM forward → (logits [B, S, V] fp32, updated cache)."""
     embeds = jnp.take(params["text"]["embed_tokens"], jnp.maximum(tokens, 0), axis=0)
@@ -116,4 +117,5 @@ def forward(
         return_hidden=return_hidden,
         cp_mesh=cp_mesh,
         cp_axis=cp_axis,
+        fresh_cache=fresh_cache,
     )

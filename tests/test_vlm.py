@@ -147,3 +147,157 @@ def test_engine_generate_with_images():
     images = np.random.RandomState(0).randn(1, 3, 56, 56).astype(np.float32)
     res = eng.generate([prompt], images=images, gen_cfg=gen)
     assert len(res.tokens[0]) == 3
+
+
+def test_fresh_prefill_matches_cached_dense():
+    """fresh_cache=True (uncached-tier attention during single-shot prefill)
+    must produce the same logits AND the same cache contents as the dense
+    masked sweep over the cache buffer, for ragged rows, in both the bf16 and
+    int8 cache modes — then decode must continue identically from it."""
+    import dataclasses
+
+    from leopard_tpu import config as cfgs
+    from leopard_tpu.models import vlm as vlm_mod
+
+    cfg = cfgs.tiny_vlm()
+    tcfg = cfg.text
+    params = vlm_mod.init_params(cfg, jax.random.PRNGKey(3))
+    b, s = 2, 12
+    rng = np.random.RandomState(11)
+    tokens = jnp.asarray(rng.randint(1, 90, (b, s)).astype(np.int32))
+    seg = jnp.asarray(
+        (np.arange(s)[None, :] < np.asarray([[s], [s - 3]])).astype(np.int32)
+    )
+
+    for quant in (False, True):
+        caches = {}
+        logits = {}
+        for fresh in (False, True):
+            cache = KVCache.create(tcfg, b, 24, quantized=quant)
+            out, cache = vlm_mod.forward(
+                params, cfg, tokens, segment_ids=seg, cache=cache,
+                fresh_cache=fresh,
+            )
+            caches[fresh], logits[fresh] = cache, out
+        # quant: the fresh path attends over exact bf16/f32 k/v while the
+        # dense cached path attends over their int8 dequantization — the
+        # difference is bounded quantization noise, not a bug
+        tol = dict(rtol=5e-2, atol=5e-2) if quant else dict(rtol=2e-4, atol=2e-4)
+        # padded positions produce unspecified logits in both paths (their
+        # queries are fully masked) — compare valid positions only
+        valid = np.asarray(seg, bool)[:, :, None]
+        np.testing.assert_allclose(
+            np.where(valid, np.asarray(logits[True]), 0.0),
+            np.where(valid, np.asarray(logits[False]), 0.0),
+            **tol,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(caches[True].seg), np.asarray(caches[False].seg)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(caches[True].index), np.asarray(caches[False].index)
+        )
+        # k/v at PAD slots hold garbage derived from fully-masked attention
+        # outputs (differs between paths, never attended) — compare valid
+        # slots only. seg is [B, S_max]; k/v are [L, B, S_max, H, D]. In
+        # quant mode, deeper layers' k/v legitimately drift a little (the
+        # fresh path's attention inputs are exact, the dense cached path's
+        # are dequantized int8) — compare DEQUANTIZED values, loose tol.
+        vslot = np.asarray(caches[False].seg) != 0  # [B, S_max]
+
+        def deq(c, name):
+            a = np.asarray(getattr(c, name), np.float32)
+            if quant:
+                a = a * np.asarray(getattr(c, name + "_scale"), np.float32)[..., None]
+            return a
+
+        m = vslot[None, :, :, None, None]
+        ctol = dict(rtol=5e-2, atol=5e-2) if quant else dict(rtol=1e-5, atol=1e-5)
+        for name in ("k", "v"):
+            np.testing.assert_allclose(
+                np.where(m, deq(caches[True], name), 0.0),
+                np.where(m, deq(caches[False], name), 0.0),
+                **ctol, err_msg=f"cache field {name} (quant={quant})",
+            )
+        # one decode step from each cache must agree
+        nxt = jnp.asarray(rng.randint(1, 90, (b, 1)).astype(np.int32))
+        o_fresh, _ = vlm_mod.forward(
+            params, cfg, nxt, segment_ids=jnp.ones((b, 1), jnp.int32),
+            cache=caches[True],
+        )
+        o_dense, _ = vlm_mod.forward(
+            params, cfg, nxt, segment_ids=jnp.ones((b, 1), jnp.int32),
+            cache=caches[False],
+        )
+        np.testing.assert_allclose(
+            np.asarray(o_fresh), np.asarray(o_dense), **ctol
+        )
+
+
+def test_fresh_prefill_long_seq_chunked_tier():
+    """At s >= long_seq_threshold the fresh path takes the chunked tier on
+    CPU — logits must still match the dense cached sweep."""
+    import dataclasses
+
+    from leopard_tpu import config as cfgs
+    from leopard_tpu.models import vlm as vlm_mod
+
+    cfg = cfgs.tiny_vlm()
+    cfg = dataclasses.replace(
+        cfg, text=dataclasses.replace(cfg.text, long_seq_threshold=16)
+    )
+    tcfg = cfg.text
+    params = vlm_mod.init_params(cfg, jax.random.PRNGKey(4))
+    b, s = 2, 32
+    rng = np.random.RandomState(13)
+    tokens = jnp.asarray(rng.randint(1, 90, (b, s)).astype(np.int32))
+    seg = jnp.asarray(
+        (np.arange(s)[None, :] < np.asarray([[s], [s - 5]])).astype(np.int32)
+    )
+    outs = {}
+    for fresh in (False, True):
+        cache = KVCache.create(tcfg, b, 40)
+        out, _ = vlm_mod.forward(
+            params, cfg, tokens, segment_ids=seg, cache=cache,
+            fresh_cache=fresh,
+        )
+        outs[fresh] = out
+    valid = np.asarray(seg, bool)[:, :, None]  # pad logits are unspecified
+    np.testing.assert_allclose(
+        np.where(valid, np.asarray(outs[True]), 0.0),
+        np.where(valid, np.asarray(outs[False]), 0.0),
+        rtol=3e-4, atol=3e-4,
+    )
+
+
+def test_cache_scatter_and_dus_store_agree():
+    """The two in-place cache-update formulations (chosen by a static shape
+    heuristic in decoder._layer) must produce identical results: a decode
+    step with cache_len 4096 at batch 4 (scatter branch: b·S_max ≥ 16384)
+    must match cache_len 64 (DUS branch) on the same tokens."""
+    from leopard_tpu import config as cfgs
+    from leopard_tpu.models import vlm as vlm_mod
+
+    cfg = cfgs.tiny_vlm()
+    tcfg = cfg.text
+    params = vlm_mod.init_params(cfg, jax.random.PRNGKey(6))
+    b, s = 4, 8
+    rng = np.random.RandomState(17)
+    tokens = jnp.asarray(rng.randint(1, 90, (b, s)).astype(np.int32))
+    nxt = jnp.asarray(rng.randint(1, 90, (b, 1)).astype(np.int32))
+    outs = {}
+    for cache_len in (64, 4096):
+        cache = KVCache.create(tcfg, b, cache_len)
+        _, cache = vlm_mod.forward(params, cfg, tokens, cache=cache)
+        out, cache = vlm_mod.forward(
+            params, cfg, nxt, segment_ids=jnp.ones((b, 1), jnp.int32),
+            cache=cache,
+        )
+        outs[cache_len] = out
+        # the written slots must hold the same values regardless of branch
+        np.testing.assert_array_equal(
+            np.asarray(cache.index), np.full((b,), s + 1, np.int32)
+        )
+    np.testing.assert_allclose(
+        np.asarray(outs[4096]), np.asarray(outs[64]), rtol=1e-5, atol=1e-5
+    )

@@ -130,15 +130,17 @@ def main(n_tiles=16, seq=4096, new_tokens=128, decode_batches=(1, 8)):
     cache_len = 4096 + 256
     feats = feats_fn(params, images)
     cache = KVCache.create(cfg.text, 1, cache_len, quantized=True)
-    np.asarray(_prefill(params, cfg, tokens, seg, cache, feats)[0])
+    np.asarray(_prefill(params, cfg, tokens, seg, cache, feats, fresh=True)[0])
 
-    # the cache argument is donated, so each iteration creates a fresh one
-    # (zeros init ≈ 0.3 ms at this size — noise next to the 780 ms prefill)
+    # fresh=True is the engine's own path: flash-tier attention while the
+    # cache fills. The cache argument is donated, so each iteration creates a
+    # fresh one (zeros init ≈ 0.3 ms — noise next to the prefill itself)
     t0 = time.perf_counter()
     for _ in range(iters):
         feats = feats_fn(params, images)
         cache = KVCache.create(cfg.text, 1, cache_len, quantized=True)
-        logits, cache2 = _prefill(params, cfg, tokens, seg, cache, feats)
+        logits, cache2 = _prefill(params, cfg, tokens, seg, cache, feats,
+                                  fresh=True)
     np.asarray(logits)
     dt = (time.perf_counter() - t0) / iters
     print(f"prefill: {seq/dt:.1f} tok/s, TTFT {dt*1e3:.1f} ms ({n_tiles} tiles + {seq} tok)", flush=True)
@@ -146,21 +148,18 @@ def main(n_tiles=16, seq=4096, new_tokens=128, decode_batches=(1, 8)):
     # ---- decode ----
     gen = GenerateConfig(max_new_tokens=new_tokens, greedy=True, eos_token_ids=(999999,))
     for b in decode_batches:
-        # fill the 4096-token context in 512-token chunks: the cached-prefill
-        # path uses dense masked attention whose [B,H,G,q,kv] scores would be
-        # 18 GB at q=4096×batch 8 — chunking caps the transient at q=512
-        # while decode still attends the full context
-        chunk = 2048 // b  # caps the [B,H,G,q,kv] f32 score transient ~1 GiB
-
         def fill_context(b):
-            # chunked prefill: donation chains cache buffers; full-4096
-            # dense cached attention at batch 8 would transiently need 18 GB
+            # single-shot fresh prefill (flash tier — no dense-score blowup
+            # at batch 8, so no chunking needed)
             cache_b = KVCache.create(cfg.text, b, cache_len, quantized=True)
-            logits_b = None
-            for off in range(0, seq, chunk):
-                toks_c = jnp.broadcast_to(tokens[:, off : off + chunk], (b, chunk))
-                seg_c = jnp.ones((b, chunk), jnp.int32)
-                logits_b, cache_b = _prefill(params, cfg, toks_c, seg_c, cache_b, None)
+            toks_b = jnp.broadcast_to(tokens, (b, seq))
+            seg_b = jnp.ones((b, seq), jnp.int32)
+            logits_b, cache_b = _prefill(params, cfg, toks_b, seg_b, cache_b,
+                                         None, fresh=True)
+            # SYNC before the caller starts a timer: dispatch is async, and
+            # an un-synced fill chain silently inflates the decode timing
+            # (this exact bug once read 76 ms/step for an 18 ms/step decode)
+            np.asarray(logits_b)
             return logits_b, cache_b
 
         toks_b = jnp.broadcast_to(tokens, (b, seq))
