@@ -214,7 +214,9 @@ def _layer(
 
         def store(a, new):
             """Write the new tokens into the stacked buffer; returns
-            (updated stack, this layer's updated slice)."""
+            (updated stack, this layer's updated slice). (A mixed variant —
+            DUS for the small scale arrays, scatter for k/v — measured WORSE
+            at batch 8: 19.8 vs 18.4 ms/step; keep the choice uniform.)"""
             if use_scatter:
                 a2 = a.at[layer_idx, bidx, slots].set(new)
                 layer = jax.lax.dynamic_index_in_dim(
