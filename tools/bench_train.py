@@ -86,4 +86,11 @@ def main(seq=4096, n_tiles=8, steps=8):
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--seq", type=int, default=4096)
+    p.add_argument("--tiles", type=int, default=8)
+    p.add_argument("--steps", type=int, default=8)
+    a = p.parse_args()
+    main(a.seq, a.tiles, a.steps)
