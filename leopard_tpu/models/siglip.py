@@ -167,7 +167,11 @@ def forward(
     s_real = x.shape[1]
     flash_block = 0
     if impl == "flash":
-        s_pad = ((s_real + 127) // 128) * 128
+        # long sequences (NaViT-980: 4900 patches) pad to a ×512 multiple so
+        # the kernel gets full 512 blocks — ×128 padding gave 4992 → block
+        # 384 and a ragged grid
+        mult = 512 if s_real >= 2048 else 128
+        s_pad = ((s_real + mult - 1) // mult) * mult
         if seg is None:
             seg = jnp.ones((b, s_real), jnp.int32)
         if s_pad != s_real:
