@@ -186,15 +186,25 @@ def run_benchmark_batched(
         for row in rows
     ]
 
-    def bucket(x: int, buckets) -> int:
-        for bkt in buckets:
-            if x <= bkt:
-                return bkt
-        return buckets[-1]
-
     engine = getattr(adapter, "engine", None)
-    seq_buckets = engine.seq_buckets if engine is not None else [512, 1024, 2048, 4096]
-    tile_buckets = engine.tile_buckets if engine is not None else [1, 4, 8, 16, 32]
+    if engine is not None:
+        # the ENGINE's bucketing (incl. its round-up-past-the-top overflow
+        # rule) so the sort key matches the shape the engine actually pads
+        # each batch to — a divergent local copy can co-batch rows the
+        # engine then pads differently, recompiling per batch
+        seq_buckets, tile_buckets = engine.seq_buckets, engine.tile_buckets
+        bucket = engine._bucket
+    else:
+        from leopard_tpu.inference.engine import round_up
+
+        seq_buckets = [512, 1024, 2048, 4096]
+        tile_buckets = [1, 4, 8, 16, 32]
+
+        def bucket(x: int, buckets) -> int:
+            for bkt in buckets:
+                if x <= bkt:
+                    return bkt
+            return round_up(x, buckets[-1])
     order = sorted(
         range(len(prepared)),
         key=lambda i: (

@@ -162,6 +162,7 @@ def _layer(
     layer_idx: Optional[jnp.ndarray] = None,   # required when cache_kv given
     fresh_cache: bool = False,  # cache is all-empty: write it, but attend
                                 # over the current tokens with the fast tiers
+    ring_pre_permuted: bool = False,  # inputs already in zig-zag CP order
 ):
     b, s, h = x.shape
     p_attn = layer_params["attn"]
@@ -279,12 +280,15 @@ def _layer(
         )
     elif attn_impl == "ring":
         # context parallelism: sequence stays sharded over cp_axis, KV blocks
-        # rotate around the ring (parallel/context_parallel.py)
+        # rotate around the ring (parallel/context_parallel.py);
+        # ring_pre_permuted means forward() already put the whole layer stack
+        # into zig-zag order, so no per-layer resharding gather happens here
         from leopard_tpu.parallel.context_parallel import ring_attention
 
         o = ring_attention(
             q, kk, vv, cp_mesh, axis=cp_axis, causal=True,
             segment_ids=segment_ids, sliding_window=cfg.sliding_window,
+            pre_permuted=ring_pre_permuted,
         )
     elif attn_impl == "ring_local":
         # already inside a shard_map whose manual axes include cp_axis (the
@@ -462,12 +466,31 @@ def forward(
             v_scale=new_kvs[3] if quantized else None,
         )
     else:
+        # CP with zig-zag layout: permute the WHOLE layer stack's inputs into
+        # zig-zag order once (and un-permute once after the scan) instead of
+        # gathering per layer — per-layer permutes compile to an all-to-all
+        # for q/k/v/seg + inverse on the output under seq sharding
+        ring_pre = False
+        zinv = None
+        if attn_impl == "ring" and cp_mesh is not None:
+            n_cp = cp_mesh.shape[cp_axis]
+            if n_cp > 1 and s % (2 * n_cp) == 0:
+                from leopard_tpu.parallel.context_parallel import zigzag_indices
+
+                zperm, zinv = zigzag_indices(s, n_cp)
+                x = x[:, zperm]
+                cos, sin = cos[:, zperm], sin[:, zperm]
+                if segment_ids is not None:
+                    segment_ids = segment_ids[:, zperm]
+                ring_pre = True
+
         def body(carry, lp):
             xs, aux = carry
             xs, _, moe_aux = _layer(
                 xs, lp, cfg, cos, sin, mask, None, None,
                 attn_impl=attn_impl, segment_ids=segment_ids,
                 cp_mesh=cp_mesh, cp_axis=cp_axis,
+                ring_pre_permuted=ring_pre,
             )
             if moe_aux is not None:
                 aux = {
@@ -482,6 +505,8 @@ def forward(
             # (train_multiimg_llava_siglip.sh:96-100)
             body = jax.checkpoint(body, prevent_cse=False)
         (x, moe_aux_total), _ = jax.lax.scan(body, (x, moe_aux_total), stacked)
+        if zinv is not None:
+            x = x[:, zinv]  # restore natural order for the head/loss
         new_cache = None
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)

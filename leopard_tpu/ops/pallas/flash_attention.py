@@ -47,7 +47,11 @@ def _flash_kernel(
 ):
     if save_lse:
         # [BQ, 128] lane-replicated logsumexp (TPU tiling wants a 128 last
-        # dim) — only materialized for the training forward
+        # dim) — only materialized for the training forward. The 128×
+        # replication is deliberate waste: a compact [B, H, S] residual needs
+        # lane↔sublane relayouts in every kernel, and the replicated copy is
+        # ≲0.5% of train-step time at our profiles (weight re-reads dominate
+        # under full remat), so the simpler layout wins.
         lse_ref, m_scr, l_scr, acc_scr = rest
     else:
         m_scr, l_scr, acc_scr = rest
@@ -66,13 +70,11 @@ def _flash_kernel(
     k_start = ik * block_k
 
     # causal: skip kv blocks strictly above the diagonal; sliding window:
-    # also skip kv blocks entirely below the window band
-    run = True
-    if causal:
-        run = q_start + block_q - 1 >= k_start
-    if sliding_window is not None:
-        in_band = k_start + block_k - 1 > q_start - sliding_window
-        run = in_band if run is True else (run & in_band)
+    # also skip kv blocks entirely below the window band (same predicate as
+    # the backward kernels — keep them in lockstep)
+    run = _should_run(q_start, k_start, causal=causal,
+                      sliding_window=sliding_window,
+                      block_q=block_q, block_k=block_k)
 
     @pl.when(run)
     def _compute():

@@ -218,6 +218,7 @@ def ring_attention(
     sliding_window: Optional[int] = None,
     scale: Optional[float] = None,
     layout: str = "zigzag",
+    pre_permuted: bool = False,
 ) -> jnp.ndarray:
     """Returns [B, S, Hq, D], sharded like q. Requires S % axis_size == 0.
 
@@ -228,13 +229,22 @@ def ring_attention(
     zig-zag layout, runs the work-optimal causal ring, and restores order —
     ~2× fewer attention flops than the masked contiguous ring and no causal
     load imbalance across CP ranks. Falls back to the contiguous ring when
-    the shape doesn't permit (non-causal, or S not divisible by 2·n)."""
+    the shape doesn't permit (non-causal, or S not divisible by 2·n).
+
+    `pre_permuted=True` asserts q/k/v/segment_ids are ALREADY in zig-zag
+    order (and the output is returned in that order): the caller permutes
+    the hidden states once for the whole layer stack instead of paying the
+    cross-shard gather per layer (≙ TE CP striping the data once)."""
     b, s, hq, d = q.shape
     hkv = k.shape[2]
     group = hq // hkv
     if scale is None:
         scale = d**-0.5
     n = mesh.shape[axis]
+    if pre_permuted:
+        assert layout == "zigzag" and causal and s % (2 * n) == 0 and n > 1
+        return _zigzag_ring(q, k, v, segment_ids, mesh, axis,
+                            sliding_window, scale)
     if layout == "zigzag" and causal and s % (2 * n) == 0 and n > 1:
         perm, inv = zigzag_indices(s, n)
         seg_p = segment_ids[:, perm] if segment_ids is not None else None

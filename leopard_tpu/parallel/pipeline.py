@@ -218,18 +218,42 @@ def pipeline_1f1b(
             )
 
             # ---- fused head at the last GLOBAL stage (c = v−1, d = n−1),
-            # same tick as that stage's backward --
+            # same tick as that stage's backward. Gated with lax.cond so the
+            # full-vocab CE forward + vjp (≈ several decoder layers of FLOPs)
+            # runs only on the 1/(n·v) of device-ticks that consume it — it
+            # used to run unconditionally on every tick of every device, and
+            # head_fn contains no collectives so per-device branching is
+            # safe (the psums happen after the scan). ----
             def head_wrap(hp_, y_):
                 return head_fn(hp_, y_, aux_f)
 
-            (nll_mb, w_mb), head_vjp = jax.vjp(head_wrap, hp, y)
-            # seeds must match the outputs' device-varying (VMA) types
-            g_hp, dy = head_vjp((nll_mb * 0 + 1, w_mb * 0))
             head_on = is_last & (c_f == v - 1) & fwd_valid
-            nll = nll + jnp.where(head_on, nll_mb, 0.0)
-            w = w + jnp.where(head_on, w_mb, 0.0)
+
+            def head_true(hp_, y_):
+                (nll_mb, w_mb), head_vjp = jax.vjp(head_wrap, hp_, y_)
+                # seeds must match the outputs' device-varying (VMA) types
+                g_hp, dy_ = head_vjp((nll_mb * 0 + 1, w_mb * 0))
+                return nll_mb.astype(f32), w_mb.astype(f32), g_hp, dy_
+
+            def head_false(hp_, y_):
+                nll_s, w_s = jax.eval_shape(head_wrap, hp_, y_)
+                zeros = (
+                    jnp.zeros(nll_s.shape, f32),
+                    jnp.zeros(w_s.shape, f32),
+                    jax.tree_util.tree_map(
+                        lambda p: jnp.zeros(p.shape, p.dtype), hp_
+                    ),
+                    jnp.zeros_like(y),
+                )
+                return jax.tree_util.tree_map(vary, zeros)
+
+            nll_mb, w_mb, g_hp, dy = jax.lax.cond(
+                head_on, head_true, head_false, hp, y
+            )
+            nll = nll + nll_mb
+            w = w + w_mb
             gh = jax.tree_util.tree_map(
-                lambda a, g: a + jnp.where(head_on, g.astype(f32), 0.0), gh, g_hp
+                lambda a, g: a + g.astype(f32), gh, g_hp
             )
 
             # ---- backward: wb = t − 2(n−1) + d encodes (q, c, r) with the

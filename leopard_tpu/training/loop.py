@@ -70,6 +70,16 @@ class BatchRamp:
         steps = consumed_samples // self.samples_per_increment
         return min(self.global_batch_size, self.start + steps * self.increment)
 
+    def consumed_samples_at(self, step: int) -> int:
+        """Samples consumed after `step` ramped steps — exact replay of the
+        schedule, so a checkpoint resume continues the ramp where it left
+        off instead of silently restarting from the smallest batch
+        (≙ Megatron restoring consumed samples from the checkpoint)."""
+        consumed = 0
+        for _ in range(step):
+            consumed += self.batch_size(consumed)
+        return consumed
+
 
 def param_hash(params) -> str:
     """Deterministic hash of all parameters (host transfer; use sparingly).
@@ -100,7 +110,6 @@ def train(
     signals = SignalState().install()
     start_time = time.time()
     nan_iters = 0
-    consumed_samples = 0
     ramp = None
     if train_cfg.rampup_batch_size is not None:
         # batch-size ramp needs a size-aware provider; a plain iterable can't
@@ -118,6 +127,11 @@ def train(
         fetch = batches
 
     step = int(state.step)
+    # resume-correct sample accounting (a fresh run starts at 0 either way)
+    consumed_samples = (
+        ramp.consumed_samples_at(step) if ramp
+        else step * train_cfg.global_batch_size
+    )
     while step < train_cfg.train_steps:
         if profile_steps and step == profile_steps[0]:
             jax.profiler.start_trace(profile_dir)

@@ -157,3 +157,25 @@ def test_train_loop_with_rampup():
     # ramp: (4-2)/2 = 1 increment over 4 samples → steps at bs 2,2,4,4
     assert requested == [2, 2, 4, 4]
     assert int(state.step) == 4
+
+
+def test_batch_ramp_resume_continues_schedule():
+    """Resuming from a checkpointed step must continue the ramp where it
+    left off, not restart from the smallest batch (round-2 review finding:
+    consumed_samples was reset to 0 on resume)."""
+    from leopard_tpu.training.loop import BatchRamp
+
+    ramp = BatchRamp(4, 2, 12, global_batch_size=8)
+    # replay: steps consume 4,4 (8 total ≥ 6 → size 6), 6 (14 ≥ 12 → 8), 8...
+    consumed = 0
+    sizes = []
+    for _ in range(5):
+        bs = ramp.batch_size(consumed)
+        sizes.append(bs)
+        consumed += bs
+    for step in range(6):
+        got = ramp.consumed_samples_at(step)
+        want = sum(sizes[:step]) if step <= 5 else None
+        assert got == want, (step, got, want)
+    # after full ramp, batch size at the reconstructed consumption is stable
+    assert ramp.batch_size(ramp.consumed_samples_at(5)) == 8
