@@ -214,9 +214,9 @@ class Engine:
             jnp.asarray(tokens), jnp.asarray(seg), cache,
             jax.random.PRNGKey(gen_cfg.seed), gen_cfg.max_new_tokens,
         )
-        gen_buf = np.asarray(gen_buf)
-        gen_mask = np.asarray(gen_mask)
-        lp_buf = np.asarray(lp_buf)
+        # ONE host transfer for all three buffers: each separate np.asarray
+        # is a device round-trip (~200 ms through a TCP-relayed TPU)
+        gen_buf, gen_mask, lp_buf = jax.device_get((gen_buf, gen_mask, lp_buf))
         out, out_lp = [], []
         for i in range(b):
             row = gen_buf[i][gen_mask[i]]
