@@ -301,3 +301,45 @@ def test_cache_scatter_and_dus_store_agree():
     np.testing.assert_allclose(
         np.asarray(outs[4096]), np.asarray(outs[64]), rtol=1e-5, atol=1e-5
     )
+
+
+def test_fresh_prefill_sliding_window_matches_dense():
+    """The fresh-cache prefill tiers must apply the sliding window (round-1's
+    silent-window-drop bug class): long-seq chunked tier + short dense tier
+    vs the cached dense sweep, Mistral-style window."""
+    import dataclasses
+
+    from leopard_tpu import config as cfgs
+    from leopard_tpu.models import vlm as vlm_mod
+
+    cfg = cfgs.tiny_vlm()
+    cfg = dataclasses.replace(
+        cfg,
+        text=dataclasses.replace(
+            cfg.text, sliding_window=6, long_seq_threshold=16
+        ),
+    )
+    tcfg = cfg.text
+    params = vlm_mod.init_params(cfg, jax.random.PRNGKey(8))
+    rng = np.random.RandomState(19)
+    for b, s in ((2, 32), (2, 8)):  # chunked tier / dense tier
+        tokens = jnp.asarray(rng.randint(1, 90, (b, s)).astype(np.int32))
+        outs = {}
+        for fresh in (False, True):
+            cache = KVCache.create(tcfg, b, s + 8)
+            out, _ = vlm_mod.forward(
+                params, cfg, tokens, cache=cache, fresh_cache=fresh
+            )
+            outs[fresh] = np.asarray(out)
+        np.testing.assert_allclose(outs[True], outs[False],
+                                   rtol=3e-4, atol=3e-4)
+        # and the window actually bites: full attention differs
+        nw = dataclasses.replace(
+            cfg, text=dataclasses.replace(tcfg, sliding_window=None)
+        )
+        cache = KVCache.create(tcfg, b, s + 8)
+        out_nw, _ = vlm_mod.forward(params, nw, tokens, cache=cache,
+                                    fresh_cache=True)
+        if s > 6:
+            assert not np.allclose(outs[True], np.asarray(out_nw),
+                                   rtol=3e-4, atol=3e-4)
