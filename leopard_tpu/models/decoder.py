@@ -28,6 +28,7 @@ from leopard_tpu.config import TextConfig
 from leopard_tpu.ops.attention import attention, make_attention_mask
 from leopard_tpu.ops.quant import matmul as qmm
 from leopard_tpu.ops.norms import rms_norm
+from leopard_tpu.ops.remat import remat_wrap, tag_attn_out
 from leopard_tpu.ops.rotary import apply_rope, compute_inv_freq, rope_cos_sin
 
 
@@ -309,6 +310,7 @@ def _layer(
         o = attention_quant_kv(q, ck, ck_s, cv, cv_s, mask=mask)
     else:
         o = attention(q, kk, vv, mask=mask)
+    o = tag_attn_out(o)
     o = qmm(o.reshape(b, s, -1), p_attn["wo"])
     x = res + o
 
@@ -499,11 +501,10 @@ def forward(
                 }
             return (xs, aux), None
 
-        if remat:
-            # full recompute per layer ≙ the reference's --recompute-granularity
-            # full --recompute-method uniform --recompute-num-layers 1
-            # (train_multiimg_llava_siglip.sh:96-100)
-            body = jax.checkpoint(body, prevent_cse=False)
+        # remat: False/"none" | True/"full" | "selective" (ops/remat.py;
+        # ≙ the reference's --recompute-granularity,
+        # train_multiimg_llava_siglip.sh:96-100)
+        body = remat_wrap(body, remat)
         (x, moe_aux_total), _ = jax.lax.scan(body, (x, moe_aux_total), stacked)
         if zinv is not None:
             x = x[:, zinv]  # restore natural order for the head/loss

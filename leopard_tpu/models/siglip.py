@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from leopard_tpu.config import VisionConfig
 from leopard_tpu.ops.attention import attention
 from leopard_tpu.ops.norms import layer_norm
+from leopard_tpu.ops.remat import remat_wrap, tag_attn_out
 
 
 def _dtype(cfg: VisionConfig):
@@ -200,6 +201,7 @@ def forward(
             )
         else:
             o = attention(q, kk, vv, q_segment_ids=seg, kv_segment_ids=seg)
+        o = tag_attn_out(o)
         h = res + (o.reshape(b, s, -1) @ lp["attn"]["wo"] + lp["attn"]["bo"])
         res = h
         y = layer_norm(h, lp["ln2"]["scale"], lp["ln2"]["bias"], cfg.layer_norm_eps)
@@ -211,8 +213,7 @@ def forward(
         h = res + (y @ lp["mlp"]["fc2"] + lp["mlp"]["b2"])
         return (h,), None
 
-    if remat:
-        body = jax.checkpoint(body, prevent_cse=False)
+    body = remat_wrap(body, remat)
     layers = params["layers"]
     if cfg.feature_layer != -1:
         # stop at an earlier layer (CLIP/LLaVA feature select, e.g. -2)

@@ -27,6 +27,7 @@ from leopard_tpu.models import decoder as decoder_mod
 from leopard_tpu.models import vlm
 from leopard_tpu.ops.attention import make_attention_mask
 from leopard_tpu.ops.norms import rms_norm
+from leopard_tpu.ops.remat import remat_wrap
 from leopard_tpu.ops.rotary import compute_inv_freq, rope_cos_sin
 from leopard_tpu.parallel.pipeline import (
     merge_stages,
@@ -71,7 +72,7 @@ def make_pp_train_step(
     seq_n = mesh.shape.get("seq", 1)
     seq_axis = "seq" if (seq_n > 1 and tcfg.attn_impl == "ring") else None
     tx = make_optimizer(train_cfg.optimizer)
-    remat = train_cfg.remat != "none"
+    remat = False if train_cfg.remat == "none" else train_cfg.remat
     compute_dtype = jnp.dtype(tcfg.dtype)
     eps = tcfg.rms_norm_eps
 
@@ -97,8 +98,7 @@ def make_pp_train_step(
             )
             return (xs,), None
 
-        if remat:
-            body = jax.checkpoint(body, prevent_cse=False)
+        body = remat_wrap(body, remat)
         (x,), _ = jax.lax.scan(body, (x,), stage_layers)
         return x
 

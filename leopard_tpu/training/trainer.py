@@ -246,7 +246,9 @@ def make_train_step(cfg: VLMConfig, train_cfg: TrainConfig, frozen=(),
     over `cp_axis` when cfg.text.attn_impl == "ring" (context-parallel
     training, ≙ the TE CP wiring at custom_layers/transformer_engine.py:444)."""
     tx = make_optimizer(train_cfg.optimizer)
-    remat = train_cfg.remat != "none"
+    # "none" | "selective" | "full" — threaded through vlm_loss into the
+    # decoder/vision layer scans (ops/remat.py)
+    remat = False if train_cfg.remat == "none" else train_cfg.remat
     compute_dtype = jnp.dtype(cfg.text.dtype)
     if cfg.text.attn_impl != "ring":
         cp_mesh = None

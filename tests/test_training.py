@@ -83,6 +83,21 @@ def test_train_step_remat_matches_no_remat():
     )
 
 
+def test_train_step_selective_remat_matches_no_remat():
+    """remat='selective' (save GEMM + attention outputs, recompute the rest;
+    ≙ Megatron --recompute-granularity selective) must be a pure memory/time
+    tradeoff: same loss and gradients as remat='none'."""
+    cfg, tcfg, state, step = _setup("none")
+    _, _, state_s, step_s = _setup("selective")
+    batch = _batch(cfg)
+    _, m1 = step(state, batch)
+    _, m2 = step_s(state_s, batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=1e-4
+    )
+
+
 def test_frozen_groups_dont_update():
     cfg = cfgs.tiny_vlm()
     params = vlm.init_params(cfg, jax.random.PRNGKey(0))

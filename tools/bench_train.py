@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 V5E_BF16_FLOPS = 197e12
 
 
-def main(seq=4096, n_tiles=8, steps=8):
+def main(seq=4096, n_tiles=8, steps=8, remat="full"):
     import dataclasses
 
     import jax
@@ -46,7 +46,7 @@ def main(seq=4096, n_tiles=8, steps=8):
         image_token_id=32767,  # must stay inside the shrunk vocab
     )
     train_cfg = TrainConfig(
-        seq_len=seq, global_batch_size=1, remat="full",
+        seq_len=seq, global_batch_size=1, remat=remat,
         optimizer=OptimizerConfig(lr=1e-5, warmup_steps=10, decay_steps=1000),
     )
     params = vlm.init_params(cfg, jax.random.PRNGKey(0))
@@ -80,7 +80,7 @@ def main(seq=4096, n_tiles=8, steps=8):
     print(
         f"train step: {seq / dt:.0f} tokens/s/chip "
         f"({dt * 1e3:.0f} ms/step, {n_params / 1e9:.3f}B params, seq {seq}, "
-        f"{n_tiles} tiles, full remat, flash fwd+bwd) "
+        f"{n_tiles} tiles, {remat} remat, flash fwd+bwd) "
         f"MFU(6ND)={mfu * 100:.1f}% loss={loss:.3f}"
     )
 
@@ -92,5 +92,7 @@ if __name__ == "__main__":
     p.add_argument("--seq", type=int, default=4096)
     p.add_argument("--tiles", type=int, default=8)
     p.add_argument("--steps", type=int, default=8)
+    p.add_argument("--remat", default="full",
+                   choices=("none", "selective", "full"))
     a = p.parse_args()
-    main(a.seq, a.tiles, a.steps)
+    main(a.seq, a.tiles, a.steps, a.remat)
