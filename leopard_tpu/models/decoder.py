@@ -190,29 +190,17 @@ def _layer(
         s_max = cache_kv[0].shape[2]
         # Two in-place update formulations with complementary costs, chosen
         # statically (measured on v5e, 8B int8, S_max 4352):
-        #  - slice/DUS/put-back: the put-back rewrites the full layer slice
-        #    (B·S_max bytes/array) — ~0.7 ms/step at batch 1, ~5.6 at batch 8;
-        #  - 5-D `.at[layer, rows, slots]` scatter: writes only the new
-        #    tokens but each scatter op has ~40 µs fixed cost — 128 ops/step
-        #    ≈ 5 ms regardless of batch.
-        # DUS wins small batches and prefill (s ≈ S_max: the write-back IS
-        # the payload); scatter wins big-batch decode.
+        #  - per-row direct 5-D dynamic_update_slice: b ops/array, each
+        #    writing ONLY the new tokens. (The earlier slice/DUS/put-back
+        #    variant rewrote the full layer slice — 2·B·S_max bytes of HBM
+        #    traffic per array per layer; profiled at 18% of the 1.5B b=1
+        #    decode step.)
+        #  - 5-D `.at[layer, rows, slots]` scatter: one op/array regardless
+        #    of batch, but ~40 µs fixed cost per scatter — wins once the
+        #    unrolled-DUS op count (b per array) outgrows it.
         use_scatter = (s * 4 <= s_max) and (b * s_max >= 16384)
         bidx = jnp.arange(b, dtype=jnp.int32)[:, None]
         slots = cache_index[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :]
-
-        def updated_layer(a, new):
-            layer = jax.lax.dynamic_index_in_dim(a, layer_idx, keepdims=False)
-            nd = new.ndim - 2  # per-row dims after the slot dim (vmap'd)
-            zeros = (0,) * nd
-
-            def write(row, n, idx):
-                return jax.lax.dynamic_update_slice(row, n, (idx,) + zeros)
-
-            return jax.vmap(write)(layer, new, cache_index)
-
-        def put_layer(a, layer):
-            return jax.lax.dynamic_update_index_in_dim(a, layer, layer_idx, 0)
 
         def store(a, new):
             """Write the new tokens into the stacked buffer; returns
@@ -221,12 +209,16 @@ def _layer(
             at batch 8: 19.8 vs 18.4 ms/step; keep the choice uniform.)"""
             if use_scatter:
                 a2 = a.at[layer_idx, bidx, slots].set(new)
-                layer = jax.lax.dynamic_index_in_dim(
-                    a2, layer_idx, keepdims=False
-                )
-                return a2, layer
-            layer = updated_layer(a, new)
-            return put_layer(a, layer), layer
+            else:
+                a2 = a
+                zeros = (0,) * (new.ndim - 2)  # dims after the slot dim
+                for r in range(b):
+                    a2 = jax.lax.dynamic_update_slice(
+                        a2, new[r][None, None],
+                        (layer_idx, r, cache_index[r]) + zeros,
+                    )
+            layer = jax.lax.dynamic_index_in_dim(a2, layer_idx, keepdims=False)
+            return a2, layer
 
     # With fresh_cache (a just-created, all-empty cache — single-shot prefill)
     # the current tokens ARE the whole history, so attention runs on the local
