@@ -166,7 +166,7 @@ def forward(
     if impl == "auto":
         impl = "flash" if jax.devices()[0].platform == "tpu" else "dense"
     s_real = x.shape[1]
-    flash_block = 0
+    flash_block_q = flash_block_k = 0
     if impl == "flash":
         # long sequences (NaViT-980: 4900 patches) pad to a ×512 multiple so
         # the kernel gets full 512 blocks — ×128 padding gave 4992 → block
@@ -178,10 +178,16 @@ def forward(
         if s_pad != s_real:
             x = jnp.pad(x, ((0, 0), (0, s_pad - s_real), (0, 0)))
             seg = jnp.pad(seg, ((0, 0), (0, s_pad - s_real)))
-        flash_block = next(
+        flash_block_q = next(
             d * 128 for d in range(min(4, s_pad // 128), 0, -1)
             if s_pad % (d * 128) == 0
         )
+        # short non-causal sequences (SigLIP-364: 676→768): take ALL of kv in
+        # one block — the online-softmax rescale collapses to a single plain
+        # softmax pass (scores block BQ×S_pad fp32 ≤ 1.5 MB VMEM)
+        flash_block_k = s_pad if s_pad <= 1024 else flash_block_q
+        if s_pad <= 1024:
+            flash_block_q = s_pad
 
     def body(carry, lp):
         (h,) = carry
@@ -194,10 +200,14 @@ def forward(
         if impl == "flash":
             from leopard_tpu.ops.pallas.flash_attention import flash_attention
 
+            # seg here is a 0/1 validity mask (pad + NaViT patch mask), not
+            # multi-segment packing → kv-only masking; invalid q rows are
+            # don't-care (LLaVA: sliced off; NaViT: masked downstream)
             o = flash_attention(
                 q, kk, vv, causal=False,
                 q_segment_ids=seg, kv_segment_ids=seg,
-                block_q=flash_block, block_k=flash_block,
+                block_q=flash_block_q, block_k=flash_block_k,
+                kv_only_mask=True,
             )
         else:
             o = attention(q, kk, vv, q_segment_ids=seg, kv_segment_ids=seg)

@@ -44,6 +44,8 @@ def _flash_kernel(
     block_q: int,
     block_k: int,
     save_lse: bool,
+    single_pass: bool,
+    kv_only_mask: bool,
 ):
     if save_lse:
         # [BQ, 128] lane-replicated logsumexp (TPU tiling wants a 128 last
@@ -52,19 +54,71 @@ def _flash_kernel(
         # lane↔sublane relayouts in every kernel, and the replicated copy is
         # ≲0.5% of train-step time at our profiles (weight re-reads dominate
         # under full remat), so the simpler layout wins.
-        lse_ref, m_scr, l_scr, acc_scr = rest
+        lse_ref, *scratch = rest
     else:
-        m_scr, l_scr, acc_scr = rest
+        scratch = rest
+    if not single_pass:
+        m_scr, l_scr, acc_scr = scratch
     bb = pl.program_id(0)
     iq = pl.program_id(2)
     ik = pl.program_id(3)
     n_k = pl.num_programs(3)
 
-    @pl.when(ik == 0)
-    def _init():
-        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
-        acc_scr[:] = jnp.zeros_like(acc_scr)
+    def masked_scores():
+        # dot in the INPUT dtype with fp32 accumulation: bf16×bf16→fp32 is
+        # exact for bf16 inputs and runs at full MXU rate (an fp32×fp32 dot
+        # costs ~4-6 MXU passes); fp32 inputs (tests) still get an fp32 dot
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale                                             # [BQ, BK]
+        # seg blocks carry the full batch dim (TPU tiling: a (1, block) int32
+        # block is illegal for batch > 1); pick this program's row
+        kseg = kv_seg_ref[bb].reshape(1, block_k)
+        if kv_only_mask and not causal and sliding_window is None:
+            # validity-style segments (0/1, e.g. the vision tower's patch
+            # mask): masking reduces to an invalid-kv column bias — one
+            # broadcast add instead of a [BQ, BK] boolean compare chain.
+            # Fully-masked q rows get garbage either way (see note below);
+            # callers discard them.
+            return scores + jnp.where(kseg == 0, NEG_INF, 0.0)
+        q_start = iq * block_q
+        k_start = ik * block_k
+        q_ids = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        k_ids = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        qseg = q_seg_ref[bb].reshape(block_q, 1)
+        mask = (qseg == kseg) & (qseg != 0) & (kseg != 0)
+        if causal:
+            mask = mask & (q_ids >= k_ids)
+        if sliding_window is not None:
+            # same semantics as chunked/dense: attend iff q_pos - k_pos < window
+            mask = mask & (q_ids - k_ids < sliding_window)
+        # NOTE fully-masked rows: scores become NEG_INF everywhere, so the
+        # softmax below is uniform garbage for those rows — callers must
+        # discard/ignore them (tests index [valid]); this matches the
+        # reference's flash-attn varlen behavior for padding rows.
+        return jnp.where(mask, scores, NEG_INF)
+
+    if single_pass:
+        # all of kv in one block (short non-causal sequences, e.g. the
+        # SigLIP tower at 676→768 patches): plain softmax, no online-rescale
+        # state, no scratch round-trips
+        scores = masked_scores()
+        m = jnp.max(scores, axis=1, keepdims=True)            # [BQ, 1]
+        p = jnp.exp(scores - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        denom = jnp.maximum(l, 1e-30)
+        acc = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, 0] = (acc / denom).astype(o_ref.dtype)
+        if save_lse:
+            lse_ref[0, 0] = jnp.broadcast_to(
+                m + jnp.log(denom), (block_q, 128)
+            )
+        return
 
     q_start = iq * block_q
     k_start = ik * block_k
@@ -76,27 +130,15 @@ def _flash_kernel(
                       sliding_window=sliding_window,
                       block_q=block_q, block_k=block_k)
 
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
     @pl.when(run)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        scores = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale                                             # [BQ, BK]
-
-        q_ids = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-        k_ids = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        # seg blocks carry the full batch dim (TPU tiling: a (1, block) int32
-        # block is illegal for batch > 1); pick this program's row
-        qseg = q_seg_ref[bb].reshape(block_q, 1)
-        kseg = kv_seg_ref[bb].reshape(1, block_k)
-        mask = (qseg == kseg) & (qseg != 0) & (kseg != 0)
-        if causal:
-            mask = mask & (q_ids >= k_ids)
-        if sliding_window is not None:
-            # same semantics as chunked/dense: attend iff q_pos - k_pos < window
-            mask = mask & (q_ids - k_ids < sliding_window)
-        scores = jnp.where(mask, scores, NEG_INF)
+        scores = masked_scores()
 
         m_prev = m_scr[:]                                     # [BQ, 128]
         m_blk = jnp.max(scores, axis=1, keepdims=True)        # [BQ, 1]
@@ -127,11 +169,12 @@ def _flash_kernel(
     jax.jit,
     static_argnames=(
         "causal", "scale", "sliding_window", "block_q", "block_k", "save_lse",
+        "kv_only_mask",
     ),
 )
 def _flash_forward(
     q, k, v, q_seg, kv_seg, *, causal, scale, sliding_window, block_q, block_k,
-    save_lse=False,
+    save_lse=False, kv_only_mask=False,
 ):
     b, sq, hq, d = q.shape
     _, skv, hkv, _ = k.shape
@@ -139,6 +182,7 @@ def _flash_forward(
     block_q = min(block_q, sq)
     block_k = min(block_k, skv)
     assert sq % block_q == 0 and skv % block_k == 0
+    single_pass = skv == block_k and not causal and sliding_window is None
 
     # [B, H, S, D] layout for blocking
     qt = q.transpose(0, 2, 1, 3)
@@ -155,6 +199,8 @@ def _flash_forward(
         block_q=block_q,
         block_k=block_k,
         save_lse=save_lse,
+        single_pass=single_pass,
+        kv_only_mask=kv_only_mask,
     )
 
     out = pl.pallas_call(
@@ -190,7 +236,7 @@ def _flash_forward(
         ] + ([
             jax.ShapeDtypeStruct((b, hq, sq, 128), jnp.float32),
         ] if save_lse else []),
-        scratch_shapes=[
+        scratch_shapes=[] if single_pass else [
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
@@ -204,25 +250,30 @@ def _flash_forward(
 
 def _bwd_mask_and_p(
     q_seg_ref, kv_seg_ref, q_ref, k_ref, lse_ref, bb, q_start, k_start,
-    *, scale, causal, sliding_window, block_q, block_k,
+    *, scale, causal, sliding_window, block_q, block_k, kv_only_mask=False,
 ):
     """Recompute the probability block P = exp(S − lse) under the mask.
     Shared by the dq and dk/dv kernels."""
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
+    q = q_ref[0, 0]          # input dtype; dots accumulate fp32 (see fwd note)
+    k = k_ref[0, 0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale                                                  # [BQ, BK]
+    kseg = kv_seg_ref[bb].reshape(1, block_k)
+    lse = lse_ref[0, 0][:, :1]                                 # [BQ, 1]
+    if kv_only_mask and not causal and sliding_window is None:
+        # validity-style segments: the forward's lse is finite for every row
+        # (invalid q rows attended the valid kv columns), so exp(s − lse)
+        # cannot blow up; invalid kv columns zero out via exp(−∞)
+        return q, k, jnp.exp(s + jnp.where(kseg == 0, NEG_INF, 0.0) - lse)
     q_ids = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
     k_ids = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
     qseg = q_seg_ref[bb].reshape(block_q, 1)
-    kseg = kv_seg_ref[bb].reshape(1, block_k)
     mask = (qseg == kseg) & (qseg != 0) & (kseg != 0)
     if causal:
         mask = mask & (q_ids >= k_ids)
     if sliding_window is not None:
         mask = mask & (q_ids - k_ids < sliding_window)
-    lse = lse_ref[0, 0][:, :1]                                 # [BQ, 1]
     # explicit mask multiply: for fully-masked rows lse is ~NEG_INF and
     # exp(s − lse) would otherwise blow up
     p = jnp.where(mask, jnp.exp(s - lse), 0.0)                 # [BQ, BK]
@@ -242,7 +293,7 @@ def _should_run(q_start, k_start, *, causal, sliding_window, block_q, block_k):
 def _flash_bwd_dq_kernel(
     q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dq_ref, dq_scr,
-    *, scale, causal, sliding_window, block_q, block_k,
+    *, scale, causal, sliding_window, block_q, block_k, kv_only_mask,
 ):
     bb = pl.program_id(0)
     iq = pl.program_id(2)
@@ -264,15 +315,15 @@ def _flash_bwd_dq_kernel(
         _, k, p = _bwd_mask_and_p(
             q_seg_ref, kv_seg_ref, q_ref, k_ref, lse_ref, bb, q_start, k_start,
             scale=scale, causal=causal, sliding_window=sliding_window,
-            block_q=block_q, block_k=block_k,
+            block_q=block_q, block_k=block_k, kv_only_mask=kv_only_mask,
         )
-        v = v_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )                                                      # [BQ, BK]
         delta = delta_ref[0, 0][:, :1]
-        ds = p * (dp - delta) * scale
+        ds = (p * (dp - delta) * scale).astype(k.dtype)
         dq_scr[:] += jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -285,7 +336,7 @@ def _flash_bwd_dq_kernel(
 def _flash_bwd_dkv_kernel(
     q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref, dk_scr, dv_scr,
-    *, scale, causal, sliding_window, block_q, block_k,
+    *, scale, causal, sliding_window, block_q, block_k, kv_only_mask,
 ):
     bb = pl.program_id(0)
     ik = pl.program_id(2)
@@ -308,18 +359,19 @@ def _flash_bwd_dkv_kernel(
         q, _, p = _bwd_mask_and_p(
             q_seg_ref, kv_seg_ref, q_ref, k_ref, lse_ref, bb, q_start, k_start,
             scale=scale, causal=causal, sliding_window=sliding_window,
-            block_q=block_q, block_k=block_k,
+            block_q=block_q, block_k=block_k, kv_only_mask=kv_only_mask,
         )
-        v = v_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
         dv_scr[:] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )                                                      # [BK, D]
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         delta = delta_ref[0, 0][:, :1]
-        ds = p * (dp - delta) * scale
+        ds = (p * (dp - delta) * scale).astype(q.dtype)
         dk_scr[:] += jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )                                                      # [BK, D]
@@ -332,11 +384,12 @@ def _flash_bwd_dkv_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "scale", "sliding_window", "block_q", "block_k"),
+    static_argnames=("causal", "scale", "sliding_window", "block_q", "block_k",
+                     "kv_only_mask"),
 )
 def _flash_backward(
     q, k, v, q_seg, kv_seg, out, lse, g,
-    *, causal, scale, sliding_window, block_q, block_k,
+    *, causal, scale, sliding_window, block_q, block_k, kv_only_mask=False,
 ):
     b, sq, hq, d = q.shape
     _, skv, hkv, _ = k.shape
@@ -358,7 +411,7 @@ def _flash_backward(
 
     common = dict(
         scale=scale, causal=causal, sliding_window=sliding_window,
-        block_q=block_q, block_k=block_k,
+        block_q=block_q, block_k=block_k, kv_only_mask=kv_only_mask,
     )
     seg_q_spec_iq2 = pl.BlockSpec((b, block_q), lambda bb, h, iq, ik: (0, iq),
                                   memory_space=pltpu.VMEM)
@@ -435,31 +488,33 @@ def _flash_backward(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10)
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11)
 )
 def _flash(q, k, v, q_seg, kv_seg, causal, scale, sliding_window, block_q,
-           block_k, bwd_impl):
+           block_k, bwd_impl, kv_only_mask):
     out, _ = _flash_forward(
         q, k, v, q_seg, kv_seg,
         causal=causal, scale=scale, sliding_window=sliding_window,
         block_q=block_q, block_k=block_k, save_lse=False,
+        kv_only_mask=kv_only_mask,
     )
     return out
 
 
 def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, sliding_window,
-               block_q, block_k, bwd_impl):
+               block_q, block_k, bwd_impl, kv_only_mask):
     save_lse = bwd_impl != "chunked"
     out, lse = _flash_forward(
         q, k, v, q_seg, kv_seg,
         causal=causal, scale=scale, sliding_window=sliding_window,
         block_q=block_q, block_k=block_k, save_lse=save_lse,
+        kv_only_mask=kv_only_mask,
     )
     return out, (q, k, v, q_seg, kv_seg, out, lse)
 
 
 def _flash_bwd(causal, scale, sliding_window, block_q, block_k, bwd_impl,
-               res, g):
+               kv_only_mask, res, g):
     q, k, v, q_seg, kv_seg, out, lse = res
     if bwd_impl == "chunked":
         from leopard_tpu.ops.chunked_attention import chunked_attention
@@ -478,7 +533,7 @@ def _flash_bwd(causal, scale, sliding_window, block_q, block_k, bwd_impl,
         dq, dk, dv = _flash_backward(
             q, k, v, q_seg, kv_seg, out, lse, g,
             causal=causal, scale=scale, sliding_window=sliding_window,
-            block_q=block_q, block_k=block_k,
+            block_q=block_q, block_k=block_k, kv_only_mask=kv_only_mask,
         )
     return dq, dk, dv, None, None
 
@@ -499,6 +554,7 @@ def flash_attention(
     block_q: int = 512,
     block_k: int = 512,
     bwd_impl: str = "flash",
+    kv_only_mask: bool = False,
 ) -> jnp.ndarray:
     """Flash attention on TPU. q: [B, Sq, Hq, D]; k/v: [B, Skv, Hkv, D].
 
@@ -506,7 +562,10 @@ def flash_attention(
     reference window arg: megatron_patch/model/idefics2/idefics_vlm_model.py:388)
     and skips kv blocks fully outside the band. `bwd_impl` selects the
     gradient path: "flash" (Pallas dq + dk/dv kernels) or "chunked" (XLA
-    blockwise remat)."""
+    blockwise remat). `kv_only_mask=True` declares the segment ids to be a
+    0/1 validity mask (not multi-segment packing): masking reduces to an
+    invalid-kv column bias and fully-masked q rows return don't-care values
+    (callers must discard them)."""
     b, sq, _, d = q.shape
     skv = k.shape[1]
     if scale is None:
@@ -520,5 +579,5 @@ def flash_attention(
         q_segment_ids.astype(jnp.int32), kv_segment_ids.astype(jnp.int32),
         causal, float(scale),
         int(sliding_window) if sliding_window is not None else None,
-        int(block_q), int(block_k), bwd_impl,
+        int(block_q), int(block_k), bwd_impl, bool(kv_only_mask),
     )

@@ -76,7 +76,20 @@ def main(phase="decode", profile="1.5b", steps=32, seq=4096, n_tiles=16,
     params = _load_params(profile, cfg)
     quant_kv = profile == "8b"
 
-    if phase == "prefill":
+    if phase == "encoder":
+        images = jnp.asarray(
+            np.random.RandomState(0).randn(n_tiles, 3, cfg.vision.image_size,
+                                           cfg.vision.image_size), jnp.bfloat16
+        )
+
+        @jax.jit
+        def run(params, images):
+            return vlm.encode_images(params, cfg, images)
+
+        np.asarray(run(params, images))
+        with jax.profiler.trace(trace_dir):
+            np.asarray(run(params, images))
+    elif phase == "prefill":
         ids = np.full((1, seq), 11, np.int32)
         ids[0, 8 : 8 + n_tiles * cfg.anyres.tokens_per_tile] = cfg.image_token_id
         tokens = jnp.asarray(ids)
@@ -126,7 +139,8 @@ if __name__ == "__main__":
     import argparse
 
     p = argparse.ArgumentParser()
-    p.add_argument("--phase", choices=("prefill", "decode"), default="decode")
+    p.add_argument("--phase", choices=("prefill", "decode", "encoder"),
+                   default="decode")
     p.add_argument("--profile", choices=("1.5b", "8b"), default="1.5b")
     p.add_argument("--steps", type=int, default=32)
     p.add_argument("--seq", type=int, default=4096)
