@@ -164,6 +164,8 @@ def _layer(
     fresh_cache: bool = False,  # cache is all-empty: write it, but attend
                                 # over the current tokens with the fast tiers
     ring_pre_permuted: bool = False,  # inputs already in zig-zag CP order
+    seg_validity: bool = False,  # segment ids are a right-padded 0/1 validity
+                                 # mask → flash takes its kv-only fast path
 ):
     b, s, h = x.shape
     p_attn = layer_params["attn"]
@@ -264,12 +266,15 @@ def _layer(
     elif attn_impl == "flash":
         from leopard_tpu.ops.pallas.flash_attention import flash_attention
 
-        blk = _pick_chunk(s, cfg.attn_chunk_size)
+        blk = _pick_chunk(
+            s, cfg.flash_block_size if fresh_cache else cfg.attn_chunk_size
+        )
         o = flash_attention(
             q, kk, vv, causal=True,
             q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
             sliding_window=cfg.sliding_window,
             block_q=blk, block_k=blk,
+            kv_only_mask=seg_validity,
         )
     elif attn_impl == "ring":
         # context parallelism: sequence stays sharded over cp_axis, KV blocks
@@ -381,6 +386,11 @@ def forward(
     # is not SPMD-partitioned and would force an all-gather of the seq axis
     # (use attn_impl="ring" or "chunked" there).
     attn_impl = cfg.attn_impl
+    # validity-style segments (right-padded rows, or no segments at all) let
+    # the flash kernel take its cheap kv-only masking path; packed training
+    # segments (multi-valued) need the full per-pair compare. The engine's
+    # fresh prefill guarantees right-padded rows.
+    seg_validity = fresh_cache or segment_ids is None
     if cache is not None and not fresh_cache:
         attn_impl = "dense"
     else:
@@ -445,6 +455,7 @@ def forward(
                 xs, lp, cfg, cos, sin, mask, tuple(kv_in), cache.index,
                 attn_impl=attn_impl, segment_ids=segment_ids,
                 layer_idx=li, fresh_cache=fresh_cache,
+                seg_validity=seg_validity,
             )
             return (xs, *new_kv), None
 
@@ -485,6 +496,7 @@ def forward(
                 attn_impl=attn_impl, segment_ids=segment_ids,
                 cp_mesh=cp_mesh, cp_axis=cp_axis,
                 ring_pre_permuted=ring_pre,
+                seg_validity=seg_validity,
             )
             if moe_aux is not None:
                 aux = {

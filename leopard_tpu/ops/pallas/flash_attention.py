@@ -76,13 +76,35 @@ def _flash_kernel(
         # seg blocks carry the full batch dim (TPU tiling: a (1, block) int32
         # block is illegal for batch > 1); pick this program's row
         kseg = kv_seg_ref[bb].reshape(1, block_k)
-        if kv_only_mask and not causal and sliding_window is None:
-            # validity-style segments (0/1, e.g. the vision tower's patch
-            # mask): masking reduces to an invalid-kv column bias — one
-            # broadcast add instead of a [BQ, BK] boolean compare chain.
-            # Fully-masked q rows get garbage either way (see note below);
-            # callers discard them.
-            return scores + jnp.where(kseg == 0, NEG_INF, 0.0)
+        if kv_only_mask:
+            # validity-style segments (0/1: right-padded rows, patch masks —
+            # valid tokens form a prefix): masking reduces to an invalid-kv
+            # column bias — one broadcast add instead of a [BQ, BK] boolean
+            # compare chain. Fully-masked q rows get garbage either way (see
+            # note below); callers discard them. Under causal/sliding-window
+            # the band mask is applied ONLY on blocks the band edge actually
+            # crosses (a scalar-predicated branch): interior blocks skip all
+            # iota/compare/select VPU work, which dominated the kernel at
+            # decoder-prefill shapes (the dots are ~0.7 µs/block on the MXU;
+            # mask construction was ~2× that on the VPU).
+            scores = scores + jnp.where(kseg == 0, NEG_INF, 0.0)
+            if not causal and sliding_window is None:
+                return scores
+            q_start = iq * block_q
+            k_start = ik * block_k
+            q_ids = q_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            k_ids = k_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            m = None
+            if causal:
+                m = q_ids >= k_ids
+            if sliding_window is not None:
+                w = q_ids - k_ids < sliding_window
+                m = w if m is None else (m & w)
+            return jnp.where(m, scores, NEG_INF)
         q_start = iq * block_q
         k_start = ik * block_k
         q_ids = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
@@ -261,11 +283,40 @@ def _bwd_mask_and_p(
     ) * scale                                                  # [BQ, BK]
     kseg = kv_seg_ref[bb].reshape(1, block_k)
     lse = lse_ref[0, 0][:, :1]                                 # [BQ, 1]
-    if kv_only_mask and not causal and sliding_window is None:
+    if kv_only_mask:
         # validity-style segments: the forward's lse is finite for every row
-        # (invalid q rows attended the valid kv columns), so exp(s − lse)
-        # cannot blow up; invalid kv columns zero out via exp(−∞)
-        return q, k, jnp.exp(s + jnp.where(kseg == 0, NEG_INF, 0.0) - lse)
+        # (prefix-valid kv ⇒ even invalid/causal-early q rows attended at
+        # least one finite column), so exp(s − lse) cannot blow up; invalid
+        # kv columns zero out via exp(−∞). Invalid q rows carry zero upstream
+        # grads (callers discard them), so their p never pollutes dk/dv.
+        # Band masks mirror the forward: applied only on edge-crossing blocks.
+        s = s + jnp.where(kseg == 0, NEG_INF, 0.0)
+        if not causal and sliding_window is None:
+            return q, k, jnp.exp(s - lse)
+
+        def _band(x):
+            q_ids = q_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            k_ids = k_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            m = None
+            if causal:
+                m = q_ids >= k_ids
+            if sliding_window is not None:
+                w = q_ids - k_ids < sliding_window
+                m = w if m is None else (m & w)
+            return jnp.where(m, x, NEG_INF)
+
+        crosses = None
+        if causal:
+            crosses = k_start + block_k - 1 > q_start
+        if sliding_window is not None:
+            w_edge = q_start + block_q - 1 - k_start >= sliding_window
+            crosses = w_edge if crosses is None else (crosses | w_edge)
+        s = jax.lax.cond(crosses, _band, lambda x: x, s)
+        return q, k, jnp.exp(s - lse)
     q_ids = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
     k_ids = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
     qseg = q_seg_ref[bb].reshape(block_q, 1)
@@ -563,9 +614,11 @@ def flash_attention(
     and skips kv blocks fully outside the band. `bwd_impl` selects the
     gradient path: "flash" (Pallas dq + dk/dv kernels) or "chunked" (XLA
     blockwise remat). `kv_only_mask=True` declares the segment ids to be a
-    0/1 validity mask (not multi-segment packing): masking reduces to an
-    invalid-kv column bias and fully-masked q rows return don't-care values
-    (callers must discard them)."""
+    0/1 validity mask with valid tokens forming a PREFIX of each row (not
+    multi-segment packing): masking reduces to an invalid-kv column bias,
+    causal/window band masks run only on blocks the band edge crosses, and
+    fully-invalid q rows return don't-care values (callers must discard
+    them)."""
     b, sq, _, d = q.shape
     skv = k.shape[1]
     if scale is None:

@@ -58,7 +58,7 @@ def _load_params(profile: str, cfg):
 
 
 def main(phase="decode", profile="1.5b", steps=32, seq=4096, n_tiles=16,
-         batch=1, trace_dir="/tmp/leopard_profile_inference"):
+         batch=1, trace_dir="/tmp/leopard_profile_inference", quantize=False):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/leopard_jax_cache")
@@ -74,7 +74,11 @@ def main(phase="decode", profile="1.5b", steps=32, seq=4096, n_tiles=16,
 
     cfg = cfgs.leopard_llava_8b() if profile == "8b" else _flagship_single_chip_cfg()
     params = _load_params(profile, cfg)
-    quant_kv = profile == "8b"
+    quant_kv = profile == "8b" or quantize
+    if quantize:
+        from leopard_tpu.ops.quant import quantize_tree
+
+        params = dict(params, text=quantize_tree(params["text"]))
 
     if phase == "encoder":
         images = jnp.asarray(
@@ -146,5 +150,8 @@ if __name__ == "__main__":
     p.add_argument("--seq", type=int, default=4096)
     p.add_argument("--tiles", type=int, default=16)
     p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--quantize", action="store_true",
+                   help="int8 weight-only + int8 KV (like Engine quantize)")
     a = p.parse_args()
-    main(a.phase, a.profile, a.steps, a.seq, a.tiles, a.batch)
+    main(a.phase, a.profile, a.steps, a.seq, a.tiles, a.batch,
+         quantize=a.quantize)
