@@ -43,12 +43,10 @@ def _beam_decode(
         return jnp.repeat(a, w, axis=1) if a is not None else None
 
     cache = KVCache(
-        k=_rep1(cache.k),
-        v=_rep1(cache.v),
+        kv=_rep1(cache.kv),
         seg=jnp.repeat(cache.seg, w, axis=0),
         index=jnp.repeat(cache.index, w, axis=0),
-        k_scale=_rep1(cache.k_scale),
-        v_scale=_rep1(cache.v_scale),
+        kv_scale=_rep1(cache.kv_scale),
     )
 
     logp0 = jax.nn.log_softmax(first_logits[0].astype(jnp.float32))
@@ -82,12 +80,10 @@ def _beam_decode(
             return jnp.take(a, beam_idx, axis=1) if a is not None else None
 
         cache = KVCache(
-            k=_take1(cache.k),
-            v=_take1(cache.v),
+            kv=_take1(cache.kv),
             seg=jnp.take(cache.seg, beam_idx, axis=0),
             index=jnp.take(cache.index, beam_idx, axis=0),
-            k_scale=_take1(cache.k_scale),
-            v_scale=_take1(cache.v_scale),
+            kv_scale=_take1(cache.kv_scale),
         )
         tokens_buf = jnp.take(tokens_buf, beam_idx, axis=0).at[:, i].set(tok)
         done = jnp.take(done, beam_idx, axis=0) | jnp.any(

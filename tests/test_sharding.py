@@ -123,8 +123,7 @@ def test_kv_cache_decode_under_tp():
     # kv cache heads sharded over model axis
     kv_sharding = NamedSharding(mesh, P(None, None, None, "model", None))
     cache = decoder.KVCache(
-        k=jax.device_put(cache.k, kv_sharding),
-        v=jax.device_put(cache.v, kv_sharding),
+        kv=jax.device_put(cache.kv, kv_sharding),
         seg=jax.device_put(cache.seg, NamedSharding(mesh, P())),
         index=jax.device_put(cache.index, NamedSharding(mesh, P())),
     )

@@ -10,7 +10,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(prompt_len=512, new_tokens=128, batch=1):
+def main(prompt_len=512, new_tokens=128, batch=1, quantize=False):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/leopard_jax_cache")
@@ -23,7 +23,9 @@ def main(prompt_len=512, new_tokens=128, batch=1):
 
     cfg = _flagship_single_chip_cfg()
     params = vlm.init_params(cfg, jax.random.PRNGKey(0))
-    engine = Engine(cfg, params)
+    engine = Engine(cfg, params,
+                    quantize="int8" if quantize else None,
+                    quantize_kv=quantize)
     gen = GenerateConfig(max_new_tokens=new_tokens, greedy=True,
                          eos_token_ids=(999999,))
     prompts = [np.random.RandomState(i).randint(1, 1000, prompt_len).astype(np.int32)
@@ -44,5 +46,7 @@ if __name__ == "__main__":
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--prompt-len", type=int, default=512)
     p.add_argument("--new-tokens", type=int, default=128)
+    p.add_argument("--quantize", action="store_true",
+                   help="int8 weight-only + int8 KV cache")
     a = p.parse_args()
-    main(a.prompt_len, a.new_tokens, a.batch)
+    main(a.prompt_len, a.new_tokens, a.batch, a.quantize)
