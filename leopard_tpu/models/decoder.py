@@ -17,6 +17,7 @@ idefics_vlm_model.py:388). TPU-first design decisions:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
@@ -223,6 +224,11 @@ def _layer(
         #    of batch, but ~40 µs fixed cost per scatter — wins once the
         #    unrolled-DUS op count (b per array) outgrows it.
         use_scatter = (s * 4 <= s_max) and (b * s_max >= 16384)
+        # measurement override for re-tuning the crossover on hardware
+        # (tools/bench_decode.py --kv-store {scatter,dus}); "auto" = above
+        _kv_store = os.environ.get("LEOPARD_KV_STORE", "auto")
+        if _kv_store != "auto" and s * 4 <= s_max:
+            use_scatter = _kv_store == "scatter"
         bidx = jnp.arange(b, dtype=jnp.int32)[:, None]
         slots = cache_index[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :]
 

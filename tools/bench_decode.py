@@ -10,7 +10,9 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(prompt_len=512, new_tokens=128, batch=1, quantize=False):
+def main(prompt_len=512, new_tokens=128, batch=1, quantize=False,
+         kv_store="auto"):
+    os.environ["LEOPARD_KV_STORE"] = kv_store
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/leopard_jax_cache")
@@ -48,5 +50,8 @@ if __name__ == "__main__":
     p.add_argument("--new-tokens", type=int, default=128)
     p.add_argument("--quantize", action="store_true",
                    help="int8 weight-only + int8 KV cache")
+    p.add_argument("--kv-store", choices=("auto", "scatter", "dus"),
+                   default="auto",
+                   help="force the cache-write formulation (crossover tuning)")
     a = p.parse_args()
-    main(a.prompt_len, a.new_tokens, a.batch, a.quantize)
+    main(a.prompt_len, a.new_tokens, a.batch, a.quantize, a.kv_store)
