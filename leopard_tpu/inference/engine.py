@@ -42,7 +42,7 @@ def _encode_images(params, cfg: VLMConfig, pixel_values, patch_mask=None):
 
 @partial(jax.jit, static_argnames=("cfg", "fresh"), donate_argnames=("cache",))
 def _prefill(params, cfg: VLMConfig, tokens, seg, cache, image_features=None,
-             fresh: bool = False):
+             fresh: bool = False, feat_offsets=None):
     """Returns (last-position logits [B, V], updated cache). Unembedding runs
     only at each row's final valid position (logits_indices). The cache is
     DONATED: at 8B/batch-8 scale the in+out cache copies alone are ~4.6 GB,
@@ -50,7 +50,9 @@ def _prefill(params, cfg: VLMConfig, tokens, seg, cache, image_features=None,
     cache and never reuse the argument. `fresh=True` (single-shot prefill
     into a just-created cache — the generate() path) routes attention through
     the fast uncached tiers (Pallas flash on TPU) instead of the dense sweep
-    over the cache buffer."""
+    over the cache buffer; continuation chunks (fresh=False, long S) take the
+    chunked online-softmax tier. `feat_offsets` [B] maps this chunk's image
+    tokens to their global feature rows during chunked prefill."""
     lengths = jnp.sum(seg != 0, axis=1)
     logits, cache = vlm.forward(
         params, cfg, tokens,
@@ -59,6 +61,7 @@ def _prefill(params, cfg: VLMConfig, tokens, seg, cache, image_features=None,
         cache=cache,
         logits_indices=jnp.maximum(lengths - 1, 0),
         fresh_cache=fresh,
+        feature_row_offsets=feat_offsets,
     )
     return logits[:, 0], cache
 
@@ -205,10 +208,44 @@ class Engine:
         if images is not None and images.shape[0] > 0:
             feats = self.encode_images(images, patch_mask)
 
-        first_logits, cache = _prefill(
-            self.params, self.cfg, jnp.asarray(tokens), jnp.asarray(seg),
-            cache, feats, fresh=True,
-        )
+        chunk = self.seq_buckets[-1]
+        if s <= chunk:
+            first_logits, cache = _prefill(
+                self.params, self.cfg, jnp.asarray(tokens), jnp.asarray(seg),
+                cache, feats, fresh=True,
+            )
+        else:
+            # CHUNKED prefill for prompts above the largest bucket: each
+            # chunk-sized slice prefills against the growing cache (the first
+            # chunk flash-tier, later ones through the chunked continuation
+            # tier — decoder attn_impl="chunked_cont"), so arbitrary prompt
+            # lengths reuse the same compiled programs instead of compiling
+            # one dense O(S²) program per over-bucket length.
+            is_img = tokens == self.cfg.image_token_id
+            img_cum = np.cumsum(is_img, axis=1)          # [b, s] inclusive
+            row_total = img_cum[:, -1]
+            global_base = np.concatenate(
+                [[0], np.cumsum(row_total)[:-1]]
+            ).astype(np.int32)
+            lengths_arr = np.asarray(lengths)
+            final_chunk = (np.maximum(lengths_arr, 1) - 1) // chunk
+            first_logits = None
+            for j in range(s // chunk):
+                sl = slice(j * chunk, (j + 1) * chunk)
+                offs = global_base + (
+                    img_cum[:, j * chunk - 1].astype(np.int32) if j else 0
+                )
+                logits_j, cache = _prefill(
+                    self.params, self.cfg,
+                    jnp.asarray(tokens[:, sl]), jnp.asarray(seg[:, sl]),
+                    cache, feats, fresh=(j == 0),
+                    feat_offsets=jnp.asarray(offs) if feats is not None else None,
+                )
+                # keep the logits from the chunk holding each row's last token
+                pick = jnp.asarray(final_chunk == j)
+                first_logits = logits_j if first_logits is None else jnp.where(
+                    pick[:, None], logits_j, first_logits
+                )
         gen_buf, gen_mask, lp_buf, _ = _decode(
             self.params, self.cfg, gen_cfg, first_logits,
             jnp.asarray(tokens), jnp.asarray(seg), cache,

@@ -43,11 +43,22 @@ def init_params(cfg: VLMConfig, key: jax.Array) -> dict:
 def encode_images(
     params: dict,
     cfg: VLMConfig,
-    pixel_values: jnp.ndarray,                 # [N_tiles, 3, H, W]
+    pixel_values: jnp.ndarray,                 # [N_tiles, 3, H, W] float —
+                                               # or [N_tiles, H, W, 3] uint8
     patch_mask: Optional[jnp.ndarray] = None,  # [N_tiles, H/p, W/p]
     remat: bool = False,
 ) -> jnp.ndarray:
-    """Returns [N_tiles, tokens_per_tile, text_hidden]."""
+    """Returns [N_tiles, tokens_per_tile, text_hidden].
+
+    uint8 NHWC input takes the device-side preprocessing path: /255 +
+    mean/std normalize + NCHW transpose run here, inside the caller's jit
+    (≙ the reference's CVCUDA GPU preprocessing; 4× less host transfer)."""
+    if pixel_values.dtype == jnp.uint8:
+        from leopard_tpu.ops.image import normalize_uint8_nhwc
+
+        pixel_values = normalize_uint8_nhwc(
+            pixel_values, cfg.anyres.image_mean, cfg.anyres.image_std
+        )
     feats = siglip.forward(
         params["vision"], cfg.vision, pixel_values, patch_mask, remat=remat
     )
@@ -65,16 +76,28 @@ def splice_image_features(
     token_embeds: jnp.ndarray,    # [B, S, H]
     image_features: jnp.ndarray,  # [N_tiles, T, H] (order of appearance)
     is_image: jnp.ndarray,        # [B, S] bool
+    row_offsets: Optional[jnp.ndarray] = None,  # [B] int32
 ) -> jnp.ndarray:
     """Replace embeddings at image-token positions with image feature rows,
-    in flattened-batch order (static shapes; gather instead of scatter)."""
+    in flattened-batch order (static shapes; gather instead of scatter).
+
+    `row_offsets` supports CHUNKED prefill: when the tokens are one chunk of
+    a longer prompt, offsets[r] = feature rows already consumed by row r's
+    earlier chunks plus all rows before r (the flat order of the full
+    prompt); the i-th image token of row r in this chunk then takes feature
+    row offsets[r] + i."""
     b, s, h = token_embeds.shape
+    feat_rows = image_features.reshape(-1, h)
+    if row_offsets is None:
+        flat_is_img = is_image.reshape(b * s)
+        row_idx = jnp.cumsum(flat_is_img) - 1
+    else:
+        per_row = jnp.cumsum(is_image, axis=1) - 1          # [B, S]
+        row_idx = (row_offsets[:, None] + per_row).reshape(b * s)
+    row_idx = jnp.clip(row_idx, 0, feat_rows.shape[0] - 1)
+    gathered = feat_rows[row_idx]
     flat_embeds = token_embeds.reshape(b * s, h)
     flat_is_img = is_image.reshape(b * s)
-    feat_rows = image_features.reshape(-1, h)
-    # i-th True position maps to feature row (cumsum-1); clip for False rows.
-    row_idx = jnp.clip(jnp.cumsum(flat_is_img) - 1, 0, feat_rows.shape[0] - 1)
-    gathered = feat_rows[row_idx]
     out = jnp.where(flat_is_img[:, None], gathered.astype(flat_embeds.dtype), flat_embeds)
     return out.reshape(b, s, h)
 
@@ -90,20 +113,26 @@ def forward(
     cache: Optional[KVCache] = None,
     image_features: Optional[jnp.ndarray] = None,  # precomputed encode_images
     remat: bool = False,
+    remat_vision=None,       # vision-tower override; None = same as remat
     logits_indices: Optional[jnp.ndarray] = None,
     return_aux: bool = False,
     return_hidden: bool = False,
     cp_mesh=None,                                  # Mesh for attn_impl="ring"
     cp_axis: str = "seq",
     fresh_cache: bool = False,   # see decoder.forward — flash-tier prefill
+    feature_row_offsets: Optional[jnp.ndarray] = None,  # [B] chunked prefill
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Full VLM forward → (logits [B, S, V] fp32, updated cache)."""
     embeds = jnp.take(params["text"]["embed_tokens"], jnp.maximum(tokens, 0), axis=0)
     if image_features is None and images is not None:
-        image_features = encode_images(params, cfg, images, patch_mask, remat=remat)
+        image_features = encode_images(
+            params, cfg, images, patch_mask,
+            remat=remat if remat_vision is None else remat_vision,
+        )
     if image_features is not None:
         is_image = tokens == cfg.image_token_id
-        embeds = splice_image_features(embeds, image_features, is_image)
+        embeds = splice_image_features(embeds, image_features, is_image,
+                                       row_offsets=feature_row_offsets)
     return decoder.forward(
         params["text"],
         cfg.text,

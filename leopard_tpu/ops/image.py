@@ -66,3 +66,20 @@ def preprocess_on_device(
     x = jax.image.resize(x, (n, c, size[0], size[1]), method=method)
     x = jnp.clip(x, 0.0, 1.0)
     return normalize_images(x, jnp.asarray(mean, jnp.float32), jnp.asarray(std, jnp.float32))
+
+
+def normalize_uint8_nhwc(
+    images: jnp.ndarray,            # [N, H, W, 3] uint8 (raw PIL layout)
+    mean: Sequence[float],
+    std: Sequence[float],
+) -> jnp.ndarray:
+    """Device half of the uint8 preprocessing path (see
+    data/anyres.py::preprocess_tiles_uint8): /255 scale, mean/std normalize,
+    and the NHWC→NCHW transpose, all inside the caller's jit so XLA fuses
+    them into the patchify convolution. NOT jitted standalone — meant to be
+    traced inside the encoder program."""
+    m = jnp.asarray(mean, jnp.float32)
+    s = jnp.asarray(std, jnp.float32)
+    x = images.astype(jnp.float32) / 255.0
+    x = (x - m[None, None, None, :]) / s[None, None, None, :]
+    return x.transpose(0, 3, 1, 2)

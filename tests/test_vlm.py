@@ -343,3 +343,37 @@ def test_fresh_prefill_sliding_window_matches_dense():
         if s > 6:
             assert not np.allclose(outs[True], np.asarray(out_nw),
                                    rtol=3e-4, atol=3e-4)
+
+
+def test_engine_chunked_prefill_matches_single_shot():
+    """Prompts above the largest seq bucket prefill in chunk-sized pieces
+    (first chunk fresh, later chunks through the continuation tier), with
+    image features spliced across chunk boundaries via per-row feature
+    offsets. Greedy output must match a single-shot prefill engine."""
+    import dataclasses
+
+    cfg, params = _tiny()
+    # low threshold so the continuation chunks exercise chunked_cont
+    cfg = dataclasses.replace(
+        cfg, text=dataclasses.replace(cfg.text, long_seq_threshold=8,
+                                      attn_chunk_size=8)
+    )
+    img_tok = cfg.image_token_id
+    rng = np.random.RandomState(7)
+    # row 0: 2 tiles (8 image tokens), second tile spanning the 16-token
+    # chunk boundary; row 1: 1 tile, shorter prompt (ragged final chunks)
+    p0 = list(rng.randint(1, 100, 10)) + [img_tok] * 4 + \
+        list(rng.randint(1, 100, 0)) + [img_tok] * 4 + \
+        list(rng.randint(1, 100, 22))            # len 40, img at 10-17
+    p1 = list(rng.randint(1, 100, 3)) + [img_tok] * 4 + \
+        list(rng.randint(1, 100, 13))            # len 20
+    prompts = [np.asarray(p0, np.int32), np.asarray(p1, np.int32)]
+    images = rng.randn(3, 3, 56, 56).astype(np.float32)
+
+    gen = GenerateConfig(max_new_tokens=4, greedy=True, eos_token_ids=(999999,))
+    single = Engine(cfg, params, seq_buckets=(64,), tile_buckets=(4,))
+    chunked = Engine(cfg, params, seq_buckets=(16,), tile_buckets=(4,))
+    want = single.generate(prompts, images=images, gen_cfg=gen)
+    got = chunked.generate(prompts, images=images, gen_cfg=gen)
+    for w, g in zip(want.tokens, got.tokens):
+        np.testing.assert_array_equal(w, g)
