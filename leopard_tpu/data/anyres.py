@@ -155,11 +155,40 @@ class TiledImages:
         return len(self.tiles)
 
 
+def plan_tile_grid(
+    image_sizes: Sequence[Tuple[int, int]],
+    tile_size: int = 364,
+    total_budget: int = 50,
+) -> List[Optional[Tuple[int, int]]]:
+    """Resolution-planning half of tile_images: needs only (width, height)
+    pairs, no pixel data — so a batching driver can compute tile counts and
+    build prompts (PIL header reads only) while the expensive decode/resize
+    work overlaps with device compute (evaluation/harness.py pipeline)."""
+    budget = total_budget - len(image_sizes)
+    if budget <= 0:
+        return [None] * len(image_sizes)
+    counts = allocate_patches(image_sizes, tile_size, budget)
+    return [
+        select_best_resolution(sz, n, tile_size)
+        for sz, n in zip(image_sizes, counts)
+    ]
+
+
+def tiles_per_image_from_plan(
+    resolutions: Sequence[Optional[Tuple[int, int]]], tile_size: int
+) -> List[int]:
+    return [
+        0 if r is None else (r[0] // tile_size) * (r[1] // tile_size)
+        for r in resolutions
+    ]
+
+
 def tile_images(
     images: Sequence[Image.Image],
     tile_size: int = 364,
     total_budget: int = 50,
     order: str = "train",
+    resolutions: Optional[Sequence[Optional[Tuple[int, int]]]] = None,
 ) -> TiledImages:
     """Full anyres pipeline for one multi-image sample.
 
@@ -169,17 +198,15 @@ def tile_images(
     (mm_pretrain_dataset.py:252: `patches + [origin]`) and
     [original, tiles...] for order="eval"
     (llava_multiimg_siglip_anyres.py:398: `[origin] + patches`).
+    `resolutions` short-circuits the planning stage with a precomputed
+    plan_tile_grid result (the two-phase eval pipeline).
     """
     assert order in ("train", "eval")
     images = [im.convert("RGB") if im.mode != "RGB" else im for im in images]
-    budget = total_budget - len(images)
-    if budget <= 0:
-        return TiledImages(tiles=list(images), tiles_per_image=[0] * len(images))
-    counts = allocate_patches([im.size for im in images], tile_size, budget)
-    resolutions = [
-        select_best_resolution(im.size, n, tile_size)
-        for im, n in zip(images, counts)
-    ]
+    if resolutions is None:
+        resolutions = plan_tile_grid(
+            [im.size for im in images], tile_size, total_budget
+        )
     padded = [resize_and_pad(im, res) for im, res in zip(images, resolutions)]
     grids = [divide_to_patches(im, tile_size) if im is not None else [] for im in padded]
     out: List[Image.Image] = []
@@ -193,6 +220,27 @@ def tile_images(
             out.extend(tiles)
         per_image.append(len(tiles))
     return TiledImages(tiles=out, tiles_per_image=per_image)
+
+
+def preprocess_tiles_uint8(
+    tiles: Sequence[Image.Image],
+    tile_size: int = 364,
+    resample=Image.BICUBIC,
+) -> np.ndarray:
+    """Host half of the DEVICE-side preprocessing path: resize each crop to
+    tile_size² and return raw [N, tile_size, tile_size, 3] uint8 (NHWC, the
+    PIL memory layout — zero host transpose/normalize work). The /255 + mean/
+    std normalize and the NCHW transpose run on-device inside the encoder jit
+    (ops/image.py::normalize_uint8_nhwc, fused by XLA into the patchify GEMM)
+    — 4× less host→device transfer than fp32 tiles and no fp32 math on the
+    (single-core) host. ≙ the reference's CVCUDA GPU preprocessing
+    (megatron_patch/data/llava/cvcuda_image_processing_clip.py:61-233)."""
+    out = np.empty((len(tiles), tile_size, tile_size, 3), dtype=np.uint8)
+    for i, im in enumerate(tiles):
+        if im.size != (tile_size, tile_size):
+            im = im.resize((tile_size, tile_size), resample=resample)
+        out[i] = np.asarray(im.convert("RGB"), dtype=np.uint8)
+    return out
 
 
 def preprocess_tiles(

@@ -30,24 +30,39 @@ class ProcessedSample:
 
 
 class LeopardProcessor:
-    def __init__(self, cfg: VLMConfig, tokenizer, layout: str = "train"):
+    def __init__(self, cfg: VLMConfig, tokenizer, layout: str = "train",
+                 pixel_dtype: str = "float32"):
+        """pixel_dtype="uint8" emits raw [N, T, T, 3] uint8 tiles for
+        DEVICE-side normalization (models/vlm.py::encode_images handles the
+        dtype; 4× less host→device transfer — ≙ the reference's CVCUDA GPU
+        preprocessing); "float32" normalizes on host (HF-processor-
+        compatible [N, 3, T, T])."""
+        assert pixel_dtype in ("float32", "uint8")
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.layout = layout
+        self.pixel_dtype = pixel_dtype
 
     def process_images(self, images: Sequence[Image.Image], order: Optional[str] = None):
+        from leopard_tpu.data.anyres import preprocess_tiles_uint8
+
         tiled = tile_images(
             images,
             tile_size=self.cfg.anyres.tile_size,
             total_budget=self.cfg.anyres.tile_budget,
             order=order or ("train" if self.layout == "train" else "eval"),
         )
-        pixels = preprocess_tiles(
-            tiled.tiles,
-            tile_size=self.cfg.anyres.tile_size,
-            mean=self.cfg.anyres.image_mean,
-            std=self.cfg.anyres.image_std,
-        )
+        if self.pixel_dtype == "uint8":
+            pixels = preprocess_tiles_uint8(
+                tiled.tiles, tile_size=self.cfg.anyres.tile_size
+            )
+        else:
+            pixels = preprocess_tiles(
+                tiled.tiles,
+                tile_size=self.cfg.anyres.tile_size,
+                mean=self.cfg.anyres.image_mean,
+                std=self.cfg.anyres.image_std,
+            )
         return pixels, tiled.tiles_per_image
 
     def process_chat(

@@ -168,6 +168,7 @@ def run_benchmark_batched(
     num_shards: int = 1,
     batch_size: int = 8,
     progress: bool = False,
+    prefetch: bool = True,
 ) -> List[dict]:
     """Batched evaluation driver (round-1 VERDICT Weak #6: the reference's
     one-row-at-a-time loop left ~7× decode throughput on the table).
@@ -178,13 +179,32 @@ def run_benchmark_batched(
     (tile-count bucket, prompt-length bucket) so each engine batch pads to a
     shared shape — the engine then compiles one program per bucket pair —
     and results are restored to input order before scoring, so scores are
-    identical to the serial driver."""
+    identical to the serial driver.
+
+    When the adapter also provides plan/materialize (two-phase preparation,
+    evaluation/adapter.py::PlannedSample), the expensive pixel work runs in a
+    PREFETCH THREAD that double-buffers the next batch while the current one
+    computes on device — host preprocessing overlaps device time instead of
+    preceding it (the device wait releases the GIL, so this works even on a
+    single host core). `prefetch=False` forces the eager path."""
     shard_size = len(rows) // num_shards + 1
     rows = rows[shard * shard_size : (shard + 1) * shard_size]
-    prepared = [
-        adapter.prepare(row, get_instruction(setting, row["ques_type"]))
-        for row in rows
-    ]
+    pipelined = (
+        prefetch
+        and hasattr(adapter, "plan")
+        and hasattr(adapter, "materialize")
+    )
+    if pipelined:
+        # phase 1 only: header reads + prompt build (cheap, sortable)
+        prepared = [
+            adapter.plan(row, get_instruction(setting, row["ques_type"]))
+            for row in rows
+        ]
+    else:
+        prepared = [
+            adapter.prepare(row, get_instruction(setting, row["ques_type"]))
+            for row in rows
+        ]
 
     engine = getattr(adapter, "engine", None)
     if engine is not None:
@@ -212,11 +232,46 @@ def run_benchmark_batched(
             bucket(len(prepared[i].prompt), seq_buckets),
         ),
     )
+    batches = [
+        order[start : start + batch_size]
+        for start in range(0, len(order), batch_size)
+    ]
     responses: List[Optional[str]] = [None] * len(prepared)
     done = 0
-    for start in range(0, len(order), batch_size):
-        idxs = order[start : start + batch_size]
-        outs = adapter.generate_prepared([prepared[i] for i in idxs])
+    if pipelined:
+        import queue
+        import threading
+
+        # maxsize=2: the producer stays one batch ahead (double buffering)
+        # without hoarding pixel arrays for the whole run
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+
+        def producer():
+            try:
+                for idxs in batches:
+                    q.put((idxs, [adapter.materialize(prepared[i]) for i in idxs]))
+                q.put(None)
+            except BaseException as e:  # propagate into the consumer
+                q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+
+        def batch_iter():
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+    else:
+        def batch_iter():
+            for idxs in batches:
+                yield idxs, [prepared[i] for i in idxs]
+
+    for idxs, batch in batch_iter():
+        outs = adapter.generate_prepared(batch)
         for i, resp in zip(idxs, outs):
             responses[i] = resp
         done += len(idxs)

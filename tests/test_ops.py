@@ -210,3 +210,23 @@ def test_preprocess_on_device_range():
     white = jnp.full((1, 3, 20, 20), 255, jnp.uint8)
     out = np.asarray(preprocess_on_device(white, size=(28, 28)))
     np.testing.assert_allclose(out, 1.0, atol=1e-5)  # (1-0.5)/0.5
+
+
+def test_encode_images_uint8_matches_fp32():
+    """encode_images with raw uint8 NHWC tiles (device-side normalize) ==
+    fp32 NCHW tiles normalized on host."""
+    import jax
+
+    from leopard_tpu import config as cfgs
+    from leopard_tpu.models import vlm
+
+    cfg = cfgs.tiny_vlm()
+    params = vlm.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    u8 = rng.randint(0, 256, size=(2, 56, 56, 3)).astype(np.uint8)
+    mean = np.asarray(cfg.anyres.image_mean, np.float32)
+    std = np.asarray(cfg.anyres.image_std, np.float32)
+    f32 = ((u8.astype(np.float32) / 255.0 - mean) / std).transpose(0, 3, 1, 2)
+    a = vlm.encode_images(params, cfg, jnp.asarray(u8))
+    b = vlm.encode_images(params, cfg, jnp.asarray(f32))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
