@@ -255,7 +255,13 @@ class TrainConfig:
     save_interval: int = 1000
     log_interval: int = 1
     seed: int = 1234
-    remat: str = "full"  # none | selective | full
+    remat: str = "full"  # none | selective | full (decoder layer scan)
+    # vision-tower recompute override; None = same as `remat`. The tower and
+    # the decoder have different recompute/memory ratios (a 48-tile tower's
+    # saved activations are small next to a 16k decoder's, but its recompute
+    # is pure GEMM time), so a MIXED policy — e.g. remat="selective",
+    # remat_vision="full" — buys decoder speed without the tower's memory.
+    remat_vision: Optional[str] = None
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     freeze_vision_tower: bool = False

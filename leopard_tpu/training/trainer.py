@@ -186,6 +186,7 @@ def vlm_loss(
     loss_chunk: int = 1024,
     cp_mesh=None,
     cp_axis: str = "seq",
+    remat_vision=None,
 ):
     """batch: tokens [B,S], loss_weights [B,S], segment_ids [B,S],
     optional images [N,3,H,W] (+patch_mask), optional positions.
@@ -205,6 +206,7 @@ def vlm_loss(
         positions=batch.get("positions"),
         segment_ids=batch.get("segment_ids"),
         remat=remat,
+        remat_vision=remat_vision,
         return_aux=moe,
         return_hidden=True,
         cp_mesh=cp_mesh,
@@ -249,6 +251,7 @@ def make_train_step(cfg: VLMConfig, train_cfg: TrainConfig, frozen=(),
     # "none" | "selective" | "full" — threaded through vlm_loss into the
     # decoder/vision layer scans (ops/remat.py)
     remat = False if train_cfg.remat == "none" else train_cfg.remat
+    remat_vision = train_cfg.remat_vision  # None = follow `remat` (mixed policy)
     compute_dtype = jnp.dtype(cfg.text.dtype)
     if cfg.text.attn_impl != "ring":
         cp_mesh = None
@@ -256,7 +259,8 @@ def make_train_step(cfg: VLMConfig, train_cfg: TrainConfig, frozen=(),
     def train_step(state: TrainState, batch: dict):
         def loss_fn(params, mb):
             return vlm_loss(params, cfg, mb, compute_dtype, remat,
-                            cp_mesh=cp_mesh, cp_axis=cp_axis)
+                            cp_mesh=cp_mesh, cp_axis=cp_axis,
+                            remat_vision=remat_vision)
 
         if grad_accum_steps <= 1:
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(

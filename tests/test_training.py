@@ -328,3 +328,27 @@ def test_chunked_ce_matches_dense():
     gc = jax.grad(loss_chunked, argnums=(0, 1))(hidden, unembed)
     for a, b in zip(gd, gc):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_train_step_mixed_remat_matches_no_remat():
+    """MIXED policy (remat='selective' on the decoder, remat_vision='full' on
+    the tower — the 16k memory/speed point, VERDICT r2 next #5) is a pure
+    memory/time tradeoff: same loss and gradients as remat='none'."""
+    import dataclasses
+
+    cfg, _, state, step = _setup("none")
+    tcfg = TrainConfig(
+        seq_len=16, global_batch_size=2, remat="selective",
+        remat_vision="full",
+        optimizer=OptimizerConfig(lr=1e-2, warmup_steps=1, decay_steps=100),
+    )
+    params = vlm.init_params(cfg, jax.random.PRNGKey(0))
+    state_m = create_train_state(params, tcfg)
+    step_m = jax.jit(make_train_step(cfg, tcfg))
+    batch = _batch(cfg)
+    _, m1 = step(state, batch)
+    _, m2 = step_m(state_m, batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=1e-4
+    )
