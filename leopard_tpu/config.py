@@ -255,7 +255,7 @@ class TrainConfig:
     save_interval: int = 1000
     log_interval: int = 1
     seed: int = 1234
-    remat: str = "full"  # none | selective | full (decoder layer scan)
+    remat: str = "full"  # none | selective | attn | full (decoder layer scan)
     # vision-tower recompute override; None = same as `remat`. The tower and
     # the decoder have different recompute/memory ratios (a 48-tile tower's
     # saved activations are small next to a 16k decoder's, but its recompute

@@ -14,6 +14,11 @@ Modes (TrainConfig.remat):
     backward pass), while elementwise ops / norms / masks are recomputed.
     `dots_with_no_batch_dims_saveable` deliberately excludes batched dots,
     so the dense path's O(S²) score matrices are never saved.
+  - "attn"      — save ONLY the attention outputs: the one activation whose
+    recompute is a whole flash-kernel forward. Memory cost is a single
+    [B, S, H] per layer (vs selective's ~10× that for every GEMM output),
+    so it stays feasible at 16k+ sequences where selective does not fit,
+    while cutting the dominant recompute out of "full".
   - "full"      — per-layer full recompute: only layer boundaries are
     saved; the entire layer forward re-runs in backward. Lowest memory.
 """
@@ -51,5 +56,8 @@ def remat_wrap(body, mode: Union[bool, str, None]):
             jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
             jax.checkpoint_policies.save_only_these_names(ATTN_OUT),
         )
+        return jax.checkpoint(body, policy=policy, prevent_cse=False)
+    if mode == "attn":
+        policy = jax.checkpoint_policies.save_only_these_names(ATTN_OUT)
         return jax.checkpoint(body, policy=policy, prevent_cse=False)
     raise ValueError(f"unknown remat mode: {mode!r}")

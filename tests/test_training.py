@@ -352,3 +352,19 @@ def test_train_step_mixed_remat_matches_no_remat():
     np.testing.assert_allclose(
         float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=1e-4
     )
+
+
+def test_train_step_attn_remat_matches_no_remat():
+    """remat='attn' (save ONLY attention outputs — the 16k+ memory point
+    where 'selective' does not fit but re-running flash in the backward is
+    the dominant recompute) is a pure memory/time tradeoff: same loss and
+    gradients as remat='none'."""
+    cfg, tcfg, state, step = _setup("none")
+    _, _, state_a, step_a = _setup("attn")
+    batch = _batch(cfg)
+    _, m1 = step(state, batch)
+    _, m2 = step_a(state_a, batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=1e-4
+    )

@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 V5E_BF16_FLOPS = 197e12
 
 
-def main(seq=4096, n_tiles=8, steps=8, remat="full"):
+def main(seq=4096, n_tiles=8, steps=8, remat="full", remat_vision=None):
     import dataclasses
 
     import jax
@@ -47,6 +47,7 @@ def main(seq=4096, n_tiles=8, steps=8, remat="full"):
     )
     train_cfg = TrainConfig(
         seq_len=seq, global_batch_size=1, remat=remat,
+        remat_vision=remat_vision,
         optimizer=OptimizerConfig(lr=1e-5, warmup_steps=10, decay_steps=1000),
     )
     params = vlm.init_params(cfg, jax.random.PRNGKey(0))
@@ -80,7 +81,9 @@ def main(seq=4096, n_tiles=8, steps=8, remat="full"):
     print(
         f"train step: {seq / dt:.0f} tokens/s/chip "
         f"({dt * 1e3:.0f} ms/step, {n_params / 1e9:.3f}B params, seq {seq}, "
-        f"{n_tiles} tiles, {remat} remat, flash fwd+bwd) "
+        f"{n_tiles} tiles, {remat} remat"
+        f"{'' if remat_vision is None else f' (+{remat_vision} vision)'},"
+        f" flash fwd+bwd) "
         f"MFU(6ND)={mfu * 100:.1f}% loss={loss:.3f}"
     )
 
@@ -93,6 +96,10 @@ if __name__ == "__main__":
     p.add_argument("--tiles", type=int, default=8)
     p.add_argument("--steps", type=int, default=8)
     p.add_argument("--remat", default="full",
-                   choices=("none", "selective", "full"))
+                   choices=("none", "selective", "attn", "full"))
+    p.add_argument("--remat-vision", default=None,
+                   choices=("none", "selective", "attn", "full"),
+                   help="vision-tower recompute override (mixed policy); "
+                        "default follows --remat")
     a = p.parse_args()
-    main(a.seq, a.tiles, a.steps, a.remat)
+    main(a.seq, a.tiles, a.steps, a.remat, a.remat_vision)
