@@ -556,7 +556,9 @@ def forward(
     stacked = params["layers"]
 
     moe_aux_total = {"aux_loss": jnp.zeros((), jnp.float32),
-                     "z_loss": jnp.zeros((), jnp.float32)}
+                     "z_loss": jnp.zeros((), jnp.float32),
+                     # worst layer's dropped-token fraction (0 for dropless)
+                     "fraction_dropped": jnp.zeros((), jnp.float32)}
     if cache is not None:
         # the stacked cache buffer rides in the scan CARRY and is updated by
         # per-token scatters inside _layer — in place, never re-stacked (see
@@ -614,6 +616,9 @@ def forward(
                 aux = {
                     "aux_loss": aux["aux_loss"] + moe_aux["aux_loss"],
                     "z_loss": aux["z_loss"] + moe_aux["z_loss"],
+                    "fraction_dropped": jnp.maximum(
+                        aux["fraction_dropped"], moe_aux["fraction_dropped"]
+                    ),
                 }
             return (xs, aux), None
 

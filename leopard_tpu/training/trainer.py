@@ -232,6 +232,7 @@ def vlm_loss(
         loss = loss + moe_aux["aux_loss"] + moe_aux["z_loss"]
         metrics["moe_aux_loss"] = moe_aux["aux_loss"]
         metrics["moe_z_loss"] = moe_aux["z_loss"]
+        metrics["moe_fraction_dropped"] = moe_aux["fraction_dropped"]
     return loss, metrics
 
 

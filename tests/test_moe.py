@@ -129,6 +129,10 @@ def test_moe_decoder_end_to_end():
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0]
     assert "moe_aux_loss" in metrics
+    # capacity path at default factor on a tiny batch may or may not drop,
+    # but the metric must exist and be a finite scalar in [0, 1]
+    fd = float(metrics["moe_fraction_dropped"])
+    assert 0.0 <= fd <= 1.0
 
 
 def test_moe_dropless_never_drops():
