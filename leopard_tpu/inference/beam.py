@@ -38,12 +38,15 @@ def _beam_decode(
     w = beam_width
     eos = jnp.asarray(eos_ids, jnp.int32)
 
-    # tile the prefill cache across beams (int8 scales live folded inside kv)
+    # tile the prefill cache across beams (scales present in int8-KV mode)
+    def _rep1(a):
+        return jnp.repeat(a, w, axis=1) if a is not None else None
+
     cache = KVCache(
-        kv=jnp.repeat(cache.kv, w, axis=1),
+        kv=_rep1(cache.kv),
         seg=jnp.repeat(cache.seg, w, axis=0),
         index=jnp.repeat(cache.index, w, axis=0),
-        kv_heads=cache.kv_heads,
+        kv_scale=_rep1(cache.kv_scale),
     )
 
     logp0 = jax.nn.log_softmax(first_logits[0].astype(jnp.float32))
@@ -73,11 +76,14 @@ def _beam_decode(
         tok = (flat_idx % v).astype(jnp.int32)
 
         # reorder state by winning beams
+        def _take1(a):
+            return jnp.take(a, beam_idx, axis=1) if a is not None else None
+
         cache = KVCache(
-            kv=jnp.take(cache.kv, beam_idx, axis=1),
+            kv=_take1(cache.kv),
             seg=jnp.take(cache.seg, beam_idx, axis=0),
             index=jnp.take(cache.index, beam_idx, axis=0),
-            kv_heads=cache.kv_heads,
+            kv_scale=_take1(cache.kv_scale),
         )
         tokens_buf = jnp.take(tokens_buf, beam_idx, axis=0).at[:, i].set(tok)
         done = jnp.take(done, beam_idx, axis=0) | jnp.any(

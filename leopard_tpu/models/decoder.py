@@ -94,39 +94,6 @@ def init_params(cfg: TextConfig, key: jax.Array) -> dict:
     return params
 
 
-def _scale_rows(kv_heads: int, head_dim: int) -> int:
-    """Head-rows needed to hold 2·H_kv f32 scales as int8 bytes."""
-    return -(-(2 * kv_heads * 4) // head_dim)
-
-
-def fold_scales(data_i8: jnp.ndarray, scales_f32: jnp.ndarray) -> jnp.ndarray:
-    """Pack per-head f32 dequant scales into extra head-rows of the int8 KV
-    buffer: [..., 2H, D] int8 + [..., 2H] f32 → [..., 2H + pad, D] int8 with
-    the scale bits bitcast into the trailing rows. One buffer → one cache
-    store per layer even in int8 mode (the separate kv_scale store was the
-    second of two per-layer updates; per-op dispatch overhead dominates b=1
-    decode)."""
-    lead, (h2, d) = data_i8.shape[:-2], data_i8.shape[-2:]
-    sb = jax.lax.bitcast_convert_type(scales_f32, jnp.int8)  # [..., 2H, 4]
-    flat = sb.reshape(*lead, h2 * 4)
-    rows = _scale_rows(h2 // 2, d)
-    pad = rows * d - h2 * 4
-    if pad:
-        flat = jnp.pad(flat, [(0, 0)] * len(lead) + [(0, pad)])
-    return jnp.concatenate([data_i8, flat.reshape(*lead, rows, d)], axis=-2)
-
-
-def unfold_scales(folded: jnp.ndarray, kv_heads: int):
-    """Inverse of fold_scales: [..., 2H + pad, D] int8 →
-    ([..., 2H, D] int8, [..., 2H] f32)."""
-    h2 = 2 * kv_heads
-    lead = folded.shape[:-2]
-    data = folded[..., :h2, :]
-    sb = folded[..., h2:, :].reshape(*lead, -1)[..., : h2 * 4]
-    scales = jax.lax.bitcast_convert_type(sb.reshape(*lead, h2, 4), jnp.float32)
-    return data, scales
-
-
 @dataclass
 class KVCache:
     """Functional KV cache with per-row write offsets.
@@ -134,76 +101,68 @@ class KVCache:
     kv: [L, B, S_max, 2·H_kv, D] — K in heads [:H_kv], V in heads [H_kv:],
     PACKED in one buffer so each decode step updates one array per layer
     instead of two (per-op dispatch overhead was measured at ~18% of a b=1
-    decode step when K/V/scales were four separate updates). In int8 mode the
-    f32 dequant scales are FOLDED into the same buffer as extra head-rows
-    ([L, B, S_max, 2·H_kv + pad, D], see fold_scales) so even quantized decode
-    is one store per layer; `kv_heads` records the true head count. seg:
-    [B, S_max] segment id per cached slot (0 = invalid/padding — never
-    attended); index: [B] int32 per-row count of valid tokens written so far.
-    The invariant is *slot == absolute position*: prefill writes a
-    right-padded block at offset 0 (pad slots get seg 0), decode steps write
-    each row's next token at its own true length, reusing stale pad slots.
-    This keeps ragged batches correct with static shapes.
+    decode step when K/V/scales were four separate updates). seg: [B, S_max]
+    segment id per cached slot (0 = invalid/padding — never attended);
+    index: [B] int32 per-row count of valid tokens written so far. The
+    invariant is *slot == absolute position*: prefill writes a right-padded
+    block at offset 0 (pad slots get seg 0), decode steps write each row's
+    next token at its own true length, reusing stale pad slots. This keeps
+    ragged batches correct with static shapes.
+
+    int8 mode keeps the f32 dequant scales in a SEPARATE buffer (a second
+    store per layer) on purpose: folding them into the kv buffer as extra
+    head-rows was measured on v5e as +2% at batch 1 but −27% at batch 8
+    (1718 vs 2368 tok/s at the 1.5B profile) — the off-tile row count
+    (2H+1) breaks the int8 tiling/fusion of the cached-attention reads,
+    which costs far more bandwidth than the saved dispatch.
     """
 
     kv: jnp.ndarray
     seg: jnp.ndarray
     index: jnp.ndarray  # [B] int32
-    # number of KV heads (needed to split data rows from folded scale rows in
-    # int8 mode; 0 = derive from shape, valid for unquantized caches)
-    kv_heads: int = 0
+    # int8 mode: per-token-per-head dequant scales [L, B, S_max, 2·H_kv] f32
+    # (K scales in [:H_kv], V scales in [H_kv:], matching `kv`)
+    kv_scale: Optional[jnp.ndarray] = None
 
     @property
     def quantized(self) -> bool:
         return self.kv.dtype == jnp.int8
 
-    def _h2(self) -> int:
-        if self.quantized and self.kv_heads:
-            return 2 * self.kv_heads
-        return self.kv.shape[-2]
-
     # Unpacked views (slices of the packed buffer), for callers/tests that
     # inspect K and V separately. The hot paths use `kv` directly.
     @property
     def k(self) -> jnp.ndarray:
-        return self.kv[..., : self._h2() // 2, :]
+        return self.kv[..., : self.kv.shape[-2] // 2, :]
 
     @property
     def v(self) -> jnp.ndarray:
-        return self.kv[..., self._h2() // 2 : self._h2(), :]
-
-    @property
-    def kv_scale(self) -> Optional[jnp.ndarray]:
-        if not self.quantized:
-            return None
-        return unfold_scales(self.kv, self._h2() // 2)[1]
+        return self.kv[..., self.kv.shape[-2] // 2 :, :]
 
     @property
     def k_scale(self) -> Optional[jnp.ndarray]:
-        s = self.kv_scale
-        return None if s is None else s[..., : s.shape[-1] // 2]
+        if self.kv_scale is None:
+            return None
+        return self.kv_scale[..., : self.kv_scale.shape[-1] // 2]
 
     @property
     def v_scale(self) -> Optional[jnp.ndarray]:
-        s = self.kv_scale
-        return None if s is None else s[..., s.shape[-1] // 2 :]
+        if self.kv_scale is None:
+            return None
+        return self.kv_scale[..., self.kv_scale.shape[-1] // 2 :]
 
     @staticmethod
     def create(cfg: TextConfig, batch: int, max_len: int, dtype=None,
                quantized: bool = False) -> "KVCache":
+        shape = (cfg.num_layers, batch, max_len, 2 * cfg.num_kv_heads,
+                 cfg.head_dim)
         if quantized:
-            heads = 2 * cfg.num_kv_heads + _scale_rows(cfg.num_kv_heads,
-                                                       cfg.head_dim)
-            shape = (cfg.num_layers, batch, max_len, heads, cfg.head_dim)
             return KVCache(
                 kv=jnp.zeros(shape, jnp.int8),
                 seg=jnp.zeros((batch, max_len), jnp.int32),
                 index=jnp.zeros((batch,), jnp.int32),
-                kv_heads=cfg.num_kv_heads,
+                kv_scale=jnp.zeros(shape[:-1], jnp.float32),
             )
         dt = dtype or _dtype(cfg)
-        shape = (cfg.num_layers, batch, max_len, 2 * cfg.num_kv_heads,
-                 cfg.head_dim)
         return KVCache(
             kv=jnp.zeros(shape, dt),
             seg=jnp.zeros((batch, max_len), jnp.int32),
@@ -213,8 +172,8 @@ class KVCache:
 
 jax.tree_util.register_dataclass(
     KVCache,
-    data_fields=["kv", "seg", "index"],
-    meta_fields=["kv_heads"],
+    data_fields=["kv", "seg", "index", "kv_scale"],
+    meta_fields=[],
 )
 
 
@@ -325,7 +284,7 @@ def _layer(
             kk, vv = kv_l[..., :hkv, :], kv_l[..., hkv:, :]
         new_kv = (kv_a,)
     elif quant_kv:
-        (kv_a,) = cache_kv
+        kv_a, kvs_a = cache_kv
 
         def q8(x):
             s = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1) / 127.0
@@ -334,16 +293,17 @@ def _layer(
                          -127, 127).astype(jnp.int8)
             return q, s
 
-        # one quantize + ONE store for K, V, and their scales together: the
-        # f32 scales are bitcast into extra head-rows of the same int8 buffer
-        # (fold_scales), so int8 decode matches bf16's single update per layer
+        # one quantize + two stores for K and V together (per-head scales are
+        # unaffected by packing the head dim). Scales stay a SEPARATE buffer:
+        # folding them into extra head-rows of the int8 buffer measured −27%
+        # at batch 8 (see the KVCache docstring).
         packed_q, packed_s = q8(jnp.concatenate([kk, vv], axis=2))
-        kv_a, kv_l = store(kv_a, fold_scales(packed_q, packed_s))
+        kv_a, kv_l = store(kv_a, packed_q)
+        kvs_a, kvs_l = store(kvs_a, packed_s)
         if not fresh_cache:
-            data_l, scale_l = unfold_scales(kv_l, hkv)
-            ck, ck_s = data_l[..., :hkv, :], scale_l[..., :hkv]
-            cv, cv_s = data_l[..., hkv:, :], scale_l[..., hkv:]
-        new_kv = (kv_a,)
+            ck, ck_s = kv_l[..., :hkv, :], kvs_l[..., :hkv]
+            cv, cv_s = kv_l[..., hkv:, :], kvs_l[..., hkv:]
+        new_kv = (kv_a, kvs_a)
 
     if attn_impl == "chunked":
         from leopard_tpu.ops.chunked_attention import chunked_attention
@@ -560,29 +520,31 @@ def forward(
                      # worst layer's dropped-token fraction (0 for dropless)
                      "fraction_dropped": jnp.zeros((), jnp.float32)}
     if cache is not None:
-        # the stacked cache buffer rides in the scan CARRY and is updated by
+        quantized = cache.quantized
+
+        # the stacked cache buffers ride in the scan CARRY and are updated by
         # per-token scatters inside _layer — in place, never re-stacked (see
-        # the cache note in _layer); in int8 mode scales are folded into the
-        # same buffer, so the carry is one array either way
+        # the cache note in _layer)
         def body(carry, per_layer):
-            xs, kv_in = carry
+            xs, *kv_in = carry
             lp, li = per_layer
             xs, new_kv, _ = _layer(
-                xs, lp, cfg, cos, sin, mask, (kv_in,), cache.index,
+                xs, lp, cfg, cos, sin, mask, tuple(kv_in), cache.index,
                 attn_impl=attn_impl, segment_ids=segment_ids,
                 layer_idx=li, fresh_cache=fresh_cache,
                 seg_validity=seg_validity,
                 q_positions=positions, cache_seg=new_seg,
             )
-            return (xs, new_kv[0]), None
+            return (xs, *new_kv), None
 
-        layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
-        (x, new_kv_a), _ = jax.lax.scan(
-            body, (x, cache.kv), (stacked, layer_ids)
+        carry0 = (
+            (x, cache.kv, cache.kv_scale) if quantized else (x, cache.kv)
         )
+        layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+        (x, *new_kvs), _ = jax.lax.scan(body, carry0, (stacked, layer_ids))
         new_cache = KVCache(
-            kv=new_kv_a, seg=new_seg, index=new_index,
-            kv_heads=cache.kv_heads,
+            kv=new_kvs[0], seg=new_seg, index=new_index,
+            kv_scale=new_kvs[1] if quantized else None,
         )
     else:
         # CP with zig-zag layout: permute the WHOLE layer stack's inputs into

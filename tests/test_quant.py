@@ -127,21 +127,3 @@ def test_engine_int8_kv_generates():
     out_fp = fp.generate([prompt], gen_cfg=gen).tokens[0]
     out_q = qkv.generate([prompt], gen_cfg=gen).tokens[0]
     np.testing.assert_array_equal(out_q, out_fp)
-
-
-def test_fold_unfold_scales_roundtrip():
-    """int8 data + f32 scales survive the single-buffer folding bit-exactly,
-    for head dims both larger and smaller than the scale byte count."""
-    from leopard_tpu.models.decoder import fold_scales, unfold_scales
-
-    rng = np.random.RandomState(0)
-    for hkv, d in [(2, 16), (8, 128), (4, 8), (1, 64)]:
-        data = jnp.asarray(
-            rng.randint(-127, 128, size=(3, 5, 2 * hkv, d)), jnp.int8
-        )
-        scales = jnp.asarray(rng.rand(3, 5, 2 * hkv).astype(np.float32))
-        folded = fold_scales(data, scales)
-        assert folded.dtype == jnp.int8
-        out_d, out_s = unfold_scales(folded, hkv)
-        np.testing.assert_array_equal(np.asarray(out_d), np.asarray(data))
-        np.testing.assert_array_equal(np.asarray(out_s), np.asarray(scales))

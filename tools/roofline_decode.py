@@ -38,7 +38,7 @@ def kv_bytes_per_step(t, batch: int, mean_len: int, quantized: bool) -> int:
     width = 1 if quantized else 2
     read = batch * mean_len * h2 * t.head_dim * width
     if quantized:
-        read += batch * mean_len * h2 * 4  # folded f32 scales
+        read += batch * mean_len * h2 * 4  # f32 scales (separate buffer)
     write = batch * h2 * t.head_dim * width + (batch * h2 * 4 if quantized else 0)
     return read + write
 
