@@ -233,7 +233,15 @@ def _layer(
         #  - 5-D `.at[layer, rows, slots]` scatter: one op/array regardless
         #    of batch, but ~40 µs fixed cost per scatter — wins once the
         #    unrolled-DUS op count (b per array) outgrows it.
-        use_scatter = (s * 4 <= s_max) and (b * s_max >= 16384)
+        # Crossover re-tuned after the packed cache halved op counts (r3):
+        # per-row DUS now wins every measured decode shape — 1.5B b8
+        # (3.47 vs 3.79 ms/step) and 8B int8 b8 S_max 4352 (14.85 vs
+        # 18.09 ms/step). The old b*s_max>=16384 rule predates packing.
+        # Scatter's one-op-per-array constant cost can only pay off once
+        # the DUS op count is much larger; b>=32 is a conjecture beyond
+        # the measurable batch range here (force with LEOPARD_KV_STORE to
+        # re-tune on multi-chip serving batches).
+        use_scatter = (s * 4 <= s_max) and (b >= 32)
         # Measurement override for re-tuning the crossover on hardware
         # (tools/bench_decode.py --kv-store {scatter,dus}); "auto" = above.
         # NOTE: read at TRACE time — it is not part of the jit cache key, so

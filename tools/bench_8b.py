@@ -60,7 +60,8 @@ def build_host_params(cfg, quantize_text=True, seed=0):
     return jax.tree_util.tree_map_with_path(leaf, shapes)
 
 
-def main(n_tiles=16, seq=4096, new_tokens=128, decode_batches=(1, 8)):
+def main(n_tiles=16, seq=4096, new_tokens=128, decode_batches=(1, 8),
+         decode_only=False):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/leopard_jax_cache")
@@ -108,6 +109,10 @@ def main(n_tiles=16, seq=4096, new_tokens=128, decode_batches=(1, 8)):
         np.random.RandomState(0).randn(n_tiles, 3, 364, 364), jnp.bfloat16
     )
 
+    if decode_only:
+        _decode_section(params, cfg, tokens, seq, new_tokens, decode_batches)
+        return
+
     # ---- encoder ----
     @jax.jit
     def encode(params, images):
@@ -145,7 +150,18 @@ def main(n_tiles=16, seq=4096, new_tokens=128, decode_batches=(1, 8)):
     dt = (time.perf_counter() - t0) / iters
     print(f"prefill: {seq/dt:.1f} tok/s, TTFT {dt*1e3:.1f} ms ({n_tiles} tiles + {seq} tok)", flush=True)
 
-    # ---- decode ----
+    _decode_section(params, cfg, tokens, seq, new_tokens, decode_batches)
+
+
+def _decode_section(params, cfg, tokens, seq, new_tokens, decode_batches):
+    import jax
+    import jax.numpy as jnp
+
+    from leopard_tpu.config import GenerateConfig
+    from leopard_tpu.inference.engine import _decode, _prefill
+    from leopard_tpu.models.decoder import KVCache
+
+    cache_len = seq + 256
     gen = GenerateConfig(max_new_tokens=new_tokens, greedy=True, eos_token_ids=(999999,))
     for b in decode_batches:
         def fill_context(b):
@@ -181,4 +197,11 @@ def main(n_tiles=16, seq=4096, new_tokens=128, decode_batches=(1, 8)):
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--decode-only", action="store_true",
+                   help="skip encoder/prefill timing (crossover retunes)")
+    p.add_argument("--batches", type=int, nargs="+", default=[1, 8])
+    a = p.parse_args()
+    main(decode_batches=tuple(a.batches), decode_only=a.decode_only)
