@@ -198,8 +198,15 @@ class Engine:
             tokens[i, : len(p)] = p
             seg[i, : len(p)] = 1
 
-        cache_len = max_cache or self._bucket(
-            s + gen_cfg.max_new_tokens, self.seq_buckets
+        # Cache length: round to 512 (the chunked tiers need kv len % 512
+        # == 0, and it keeps the flash/lane tiling) rather than to the next
+        # seq bucket — bucketing s+new to a bucket boundary can nearly
+        # DOUBLE the KV allocation (a 2048-prompt + 128 new tokens would
+        # get a 4096-slot cache), which is what bounds the eval batch size
+        # on a 16 GB chip at the 8B profile. Program count stays bounded:
+        # cache_len is a function of the (already bucketed) s.
+        cache_len = max_cache or round_up(
+            s + gen_cfg.max_new_tokens, 512
         )
         cache = KVCache.create(self.cfg.text, b, cache_len,
                                quantized=self.quantize_kv)

@@ -52,7 +52,8 @@ def measure(cfg, quantize: bool, batch: int, prompt_len: int, steps: int):
     from leopard_tpu.models.decoder import KVCache
 
     engine = Engine(cfg, measure._raw_params,
-                    quantize="int8" if quantize else None,
+                    quantize=None if measure._prequantized
+                    else ("int8" if quantize else None),
                     quantize_kv=quantize)
     gen = GenerateConfig(max_new_tokens=steps, greedy=True,
                          eos_token_ids=(999999,))
@@ -79,6 +80,7 @@ def measure(cfg, quantize: bool, batch: int, prompt_len: int, steps: int):
 
 
 measure._raw_params = None
+measure._prequantized = False
 
 
 def main():
@@ -86,6 +88,11 @@ def main():
     ap.add_argument("--profile", default="1.5b", choices=("1.5b", "8b"))
     ap.add_argument("--prompt-len", type=int, default=512)
     ap.add_argument("--steps", type=int, default=128)
+    ap.add_argument("--modes", nargs="+", default=["bf16", "int8"],
+                    choices=("bf16", "int8"),
+                    help="8B bf16 (~15 GB weights + fp32 master in the "
+                         "Engine build) exceeds one 16 GB v5e — use "
+                         "--modes int8 there")
     args = ap.parse_args()
 
     import jax
@@ -97,9 +104,25 @@ def main():
     from leopard_tpu import config as cfgs
     from leopard_tpu.models import vlm
 
-    cfg = (_flagship_single_chip_cfg() if args.profile == "1.5b"
-           else cfgs.leopard_llava_8b())
-    measure._raw_params = vlm.init_params(cfg, jax.random.PRNGKey(0))
+    if args.profile == "1.5b":
+        cfg = _flagship_single_chip_cfg()
+        measure._raw_params = vlm.init_params(cfg, jax.random.PRNGKey(0))
+        measure._prequantized = False
+    else:
+        # the real 8B never fits as a bf16 device init; reuse bench_8b's
+        # already-int8 host params (build once via tools/bench_8b.py)
+        import pickle
+
+        cfg = cfgs.leopard_llava_8b()
+        with open("/tmp/leopard8b_host_params.pkl", "rb") as f:
+            host = pickle.load(f)
+        measure._raw_params = jax.device_put(host)
+        jax.block_until_ready(measure._raw_params)
+        del host
+        measure._prequantized = True
+        if "bf16" in args.modes:
+            print("(8B bf16 skipped: exceeds one 16 GB v5e)")
+            args.modes = [m for m in args.modes if m != "bf16"]
 
     t = cfg.text
     mean_len = args.prompt_len + args.steps // 2
@@ -109,6 +132,8 @@ def main():
           "measured ms | roofline % | tok/s |")
     print("|---|---|---|---|---|---|---|---|")
     for quant in (False, True):
+        if ("int8" if quant else "bf16") not in args.modes:
+            continue
         for batch in (1, 8):
             wb = decoder_weight_bytes(t, quant)
             kb = kv_bytes_per_step(t, batch, mean_len, quant)
