@@ -9,8 +9,9 @@ set of weights.
 TPU design:
   - static shapes everywhere: prompt lengths and tile counts are rounded up
     to buckets so XLA compiles a small, reusable set of programs.
-  - the decode loop is a single `lax.scan` over steps (one compiled program,
-    no per-token dispatch overhead).
+  - the decode loop is a single `lax.while_loop` over steps (one compiled
+    program, no per-token dispatch overhead) with an all-rows-done early
+    exit, so a batch stops at its longest answer, not at max_new_tokens.
   - sharding: params are placed by rules (parallel/sharding.py); batch is
     sharded over the data axes, and TP shardings propagate from the params.
 """
@@ -82,8 +83,8 @@ def _decode(params, cfg: VLMConfig, gen_cfg: GenerateConfig, first_logits,
     gen_mask0 = jnp.zeros((b, max_new_tokens), jnp.bool_)
     lp_buf0 = jnp.zeros((b, max_new_tokens), jnp.float32)
 
-    def step(carry, i):
-        cache, logits, key, done, gen_buf, gen_mask, lp_buf = carry
+    def body(carry):
+        i, cache, logits, key, done, gen_buf, gen_mask, lp_buf = carry
         key, sub = jax.random.split(key)
         tok = sample(
             logits, sub, gen_cfg,
@@ -94,21 +95,39 @@ def _decode(params, cfg: VLMConfig, gen_cfg: GenerateConfig, first_logits,
         tok = jnp.where(done, eos[0], tok)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         tok_lp = jnp.take_along_axis(logp, tok[:, None], axis=1)[:, 0]
-        gen_buf = gen_buf.at[:, i].set(tok)
-        gen_mask = gen_mask.at[:, i].set(~done)
-        lp_buf = lp_buf.at[:, i].set(jnp.where(done, 0.0, tok_lp))
+        gen_buf = jax.lax.dynamic_update_slice_in_dim(
+            gen_buf, tok[:, None], i, axis=1
+        )
+        gen_mask = jax.lax.dynamic_update_slice_in_dim(
+            gen_mask, (~done)[:, None], i, axis=1
+        )
+        lp_buf = jax.lax.dynamic_update_slice_in_dim(
+            lp_buf, jnp.where(done, 0.0, tok_lp)[:, None], i, axis=1
+        )
         new_done = done | is_eos
         step_logits, cache = vlm.forward(
             params, cfg, tok[:, None],
             segment_ids=jnp.where(done, 0, 1)[:, None].astype(jnp.int32),
             cache=cache,
         )
-        return (cache, step_logits[:, 0], key, new_done, gen_buf, gen_mask, lp_buf), None
+        return (i + 1, cache, step_logits[:, 0], key, new_done,
+                gen_buf, gen_mask, lp_buf)
+
+    def cond(carry):
+        i, _, _, _, done, _, _, _ = carry
+        # EARLY EXIT: a batch where every row has emitted eos stops decoding
+        # instead of burning the remaining max_new_tokens steps (the
+        # reference's HF generate loop has the same early stop). With real
+        # checkpoints answers are typically 10-30 tokens against a 128-token
+        # cap, so this bounds eval decode time by the LONGEST answer in the
+        # batch, not the cap.
+        return (i < max_new_tokens) & ~jnp.all(done)
 
     done0 = jnp.zeros((b,), jnp.bool_)
-    carry = (cache, first_logits, key, done0, gen_buf, gen_mask0, lp_buf0)
-    carry, _ = jax.lax.scan(step, carry, jnp.arange(max_new_tokens))
-    cache, _, _, _, gen_buf, gen_mask, lp_buf = carry
+    carry = (jnp.int32(0), cache, first_logits, key, done0,
+             gen_buf, gen_mask0, lp_buf0)
+    carry = jax.lax.while_loop(cond, body, carry)
+    _, cache, _, _, _, gen_buf, gen_mask, lp_buf = carry
     return gen_buf, gen_mask, lp_buf, cache
 
 

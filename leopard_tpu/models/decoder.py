@@ -39,8 +39,16 @@ def _dtype(cfg: TextConfig):
 
 def _pick_chunk(s: int, target: int) -> int:
     """Largest chunk ≤ target that divides s (bucketed shapes are powers of
-    two, so this is almost always `target` itself)."""
+    two, so this is almost always `target` itself). When s is lane-aligned
+    (×128) the chunk is kept ×128 too: Pallas TPU requires the last block
+    dim be a multiple of 128, and an odd bucket like 8320 would otherwise
+    yield an illegal 832-wide block."""
     c = min(target, s)
+    if s % 128 == 0 and c >= 128:
+        c -= c % 128
+        while s % c:
+            c -= 128
+        return c
     while s % c:
         c -= 1
     return c
@@ -384,7 +392,12 @@ def _layer(
         o = attention_quant_kv(q, ck, ck_s, cv, cv_s, mask=mask)
     else:
         o = attention(q, kk, vv, mask=mask)
-    o = tag_attn_out(o)
+    if attn_impl != "flash":
+        # the flash kernel tags its own output inside its custom_vjp forward
+        # rule (where the residuals live — see flash_attention._flash_fwd);
+        # tagging again here would SAVE THE SAME [B,S,H] TWICE under the
+        # attn/selective policies (+512 MB at 16k — measured OOM)
+        o = tag_attn_out(o)
     o = qmm(o.reshape(b, s, -1), p_attn["wo"])
     x = res + o
 

@@ -211,7 +211,10 @@ def forward(
             )
         else:
             o = attention(q, kk, vv, q_segment_ids=seg, kv_segment_ids=seg)
-        o = tag_attn_out(o)
+            # flash tags its own output inside the custom_vjp forward rule
+            # (see flash_attention._flash_fwd); tagging again here would save
+            # the same buffer twice under the attn/selective policies
+            o = tag_attn_out(o)
         h = res + (o.reshape(b, s, -1) @ lp["attn"]["wo"] + lp["attn"]["bo"])
         res = h
         y = layer_norm(h, lp["ln2"]["scale"], lp["ln2"]["bias"], cfg.layer_norm_eps)

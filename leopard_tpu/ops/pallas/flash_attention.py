@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from leopard_tpu.ops.remat import tag_attn_out, tag_flash_lse
+
 NEG_INF = -1e30
 
 
@@ -448,6 +450,10 @@ def _flash_backward(
     block_q = min(block_q, sq)
     block_k = min(block_k, skv)
 
+    if lse.shape[-1] == 1:
+        # residuals carry the lse lane-slim (see _flash_fwd); the kernels
+        # want the 128-replicated layout back
+        lse = jnp.broadcast_to(lse, (*lse.shape[:-1], 128))
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
@@ -561,6 +567,17 @@ def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, sliding_window,
         block_q=block_q, block_k=block_k, save_lse=save_lse,
         kv_only_mask=kv_only_mask,
     )
+    # Tag the residuals HERE, inside the forward rule: under a
+    # jax.checkpoint policy that saves these names ("attn"/"selective",
+    # ops/remat.py), the backward then reuses out/lse instead of re-running
+    # the whole flash forward kernel. Tagging only the call-site output
+    # (decoder.py's tag_attn_out) does NOT save the rule's residuals — the
+    # kernel measurably re-ran in backward until this tag existed. The lse
+    # is stored lane-slim ([..., :1] of the kernel's 128-replicated layout,
+    # ~1/128 the bytes); _flash_backward re-broadcasts.
+    out = tag_attn_out(out)
+    if lse is not None:
+        lse = tag_flash_lse(lse[..., :1])
     return out, (q, k, v, q_seg, kv_seg, out, lse)
 
 

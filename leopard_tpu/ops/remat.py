@@ -31,15 +31,25 @@ import jax
 from jax.ad_checkpoint import checkpoint_name
 
 ATTN_OUT = "attn_out"
+FLASH_LSE = "flash_lse"
 
 
 def tag_attn_out(o):
     """Mark the attention output as saveable under the selective policy.
 
-    Identity outside jax.checkpoint; under remat="selective" it keeps the
-    (Pallas flash / ring / dense) attention forward from re-running in the
-    backward pass."""
+    Identity outside jax.checkpoint; under remat="selective"/"attn" it keeps
+    the (Pallas flash / ring / dense) attention forward from re-running in
+    the backward pass. NOTE: for a custom_vjp op (the flash kernel) the tag
+    must ALSO be applied inside the forward RULE — the rule's residuals are
+    what the backward consumes, and a tag on the call-site output does not
+    save them (verified by jaxpr: the kernel re-ran in backward until
+    _flash_fwd tagged its own out/lse; see flash_attention.py)."""
     return checkpoint_name(o, ATTN_OUT)
+
+
+def tag_flash_lse(x):
+    """Mark the flash kernel's logsumexp residual as saveable (see above)."""
+    return checkpoint_name(x, FLASH_LSE)
 
 
 def remat_wrap(body, mode: Union[bool, str, None]):
@@ -54,10 +64,12 @@ def remat_wrap(body, mode: Union[bool, str, None]):
     if mode == "selective":
         policy = jax.checkpoint_policies.save_from_both_policies(
             jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-            jax.checkpoint_policies.save_only_these_names(ATTN_OUT),
+            jax.checkpoint_policies.save_only_these_names(ATTN_OUT, FLASH_LSE),
         )
         return jax.checkpoint(body, policy=policy, prevent_cse=False)
     if mode == "attn":
-        policy = jax.checkpoint_policies.save_only_these_names(ATTN_OUT)
+        policy = jax.checkpoint_policies.save_only_these_names(
+            ATTN_OUT, FLASH_LSE
+        )
         return jax.checkpoint(body, policy=policy, prevent_cse=False)
     raise ValueError(f"unknown remat mode: {mode!r}")

@@ -113,3 +113,19 @@ def test_continuation_prefill_sliding_window():
                                     cache=cache)
         out[name] = np.asarray(logits)
     np.testing.assert_allclose(out["cont"], out["dense"], rtol=2e-4, atol=2e-4)
+
+
+def test_pick_chunk_keeps_lane_alignment():
+    """Odd ×128 buckets (e.g. a 8320-slot cache) must still get ×128 chunks:
+    Pallas TPU rejects blocks whose last dim is not a multiple of 128 (the
+    8320 → 832 block was a real crash in tools/bench_continuation.py)."""
+    from leopard_tpu.models.decoder import _pick_chunk
+
+    for s in (8320, 8448, 8704, 4096, 1024):
+        for target in (128, 256, 512, 1024):
+            c = _pick_chunk(s, target)
+            assert s % c == 0 and c <= target
+            assert c % 128 == 0, (s, target, c)
+    # non-lane-aligned shapes (tiny CPU tests) keep the exact-divisor rule
+    assert _pick_chunk(169, 512) == 169
+    assert _pick_chunk(250, 128) == 125

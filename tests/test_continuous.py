@@ -1,0 +1,115 @@
+"""Continuous batching (per-slot refill serving): token-identical to serial
+Engine.generate, honors per-request budgets, handles queue > slots, mixed
+prompt lengths, images, and the int8 KV cache."""
+
+import jax
+import numpy as np
+
+from leopard_tpu import config as cfgs
+from leopard_tpu.config import GenerateConfig
+from leopard_tpu.inference.continuous import ContinuousEngine, Request
+from leopard_tpu.inference.engine import Engine
+from leopard_tpu.models import vlm
+
+
+def _tiny():
+    cfg = cfgs.tiny_vlm()
+    params = vlm.init_params(cfg, jax.random.PRNGKey(0))
+    return cfg, params
+
+
+def _requests(cfg, n=7, seed=0, with_images=False):
+    rng = np.random.RandomState(seed)
+    reqs = []
+    for i in range(n):
+        ln = int(rng.randint(3, 14))
+        prompt = rng.randint(1, 100, ln).astype(np.int32)
+        images = None
+        if with_images and i % 2 == 0:
+            prompt[1:5] = cfg.image_token_id  # one 4-token tile
+            images = rng.randn(1, 3, 56, 56).astype(np.float32)
+        reqs.append(Request(
+            prompt=prompt,
+            max_new_tokens=int(rng.randint(2, 9)),
+            images=images,
+        ))
+    return reqs
+
+
+def _serial_oracle(engine, reqs, gen_cfg):
+    out = []
+    for r in reqs:
+        g = GenerateConfig(
+            max_new_tokens=r.max_new_tokens, greedy=True,
+            eos_token_ids=gen_cfg.eos_token_ids,
+        )
+        res = engine.generate([r.prompt], images=r.images, gen_cfg=g)
+        out.append(res.tokens[0])
+    return out
+
+
+def test_continuous_matches_serial_greedy():
+    cfg, params = _tiny()
+    eng = Engine(cfg, params, seq_buckets=(16, 32), tile_buckets=(1,))
+    gen = GenerateConfig(greedy=True, eos_token_ids=(0,))
+    reqs = _requests(cfg, n=7)
+    cont = ContinuousEngine(eng, slots=3, cache_len=512, max_new_cap=16,
+                            segment_steps=2)
+    got = cont.run(reqs, gen_cfg=gen)
+    want = _serial_oracle(eng, reqs, gen)
+    assert len(got) == len(reqs)
+    for i, (g, w) in enumerate(zip(got, want)):
+        np.testing.assert_array_equal(g.tokens, w, err_msg=f"request {i}")
+        assert g.prompt_length == len(reqs[i].prompt)
+
+
+def test_continuous_with_images_matches_serial():
+    cfg, params = _tiny()
+    eng = Engine(cfg, params, seq_buckets=(16, 32), tile_buckets=(1,))
+    gen = GenerateConfig(greedy=True, eos_token_ids=(0,))
+    reqs = _requests(cfg, n=5, seed=3, with_images=True)
+    cont = ContinuousEngine(eng, slots=2, cache_len=512, max_new_cap=16,
+                            segment_steps=3)
+    got = cont.run(reqs, gen_cfg=gen)
+    want = _serial_oracle(eng, reqs, gen)
+    for i, (g, w) in enumerate(zip(got, want)):
+        np.testing.assert_array_equal(g.tokens, w, err_msg=f"request {i}")
+
+
+def test_continuous_int8_kv_matches_serial():
+    cfg, params = _tiny()
+    eng = Engine(cfg, params, seq_buckets=(16, 32), tile_buckets=(1,),
+                 quantize_kv=True)
+    gen = GenerateConfig(greedy=True, eos_token_ids=(0,))
+    reqs = _requests(cfg, n=4, seed=5)
+    cont = ContinuousEngine(eng, slots=2, cache_len=512, max_new_cap=16,
+                            segment_steps=2)
+    got = cont.run(reqs, gen_cfg=gen)
+    want = _serial_oracle(eng, reqs, gen)
+    for i, (g, w) in enumerate(zip(got, want)):
+        np.testing.assert_array_equal(g.tokens, w, err_msg=f"request {i}")
+
+
+def test_continuous_fewer_requests_than_slots():
+    cfg, params = _tiny()
+    eng = Engine(cfg, params, seq_buckets=(16,), tile_buckets=(1,))
+    gen = GenerateConfig(greedy=True, eos_token_ids=(0,))
+    reqs = _requests(cfg, n=2, seed=7)
+    cont = ContinuousEngine(eng, slots=4, cache_len=512, max_new_cap=16,
+                            segment_steps=2)
+    got = cont.run(reqs, gen_cfg=gen)
+    want = _serial_oracle(eng, reqs, gen)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g.tokens, w)
+
+
+def test_continuous_rejects_repetition_penalty():
+    cfg, params = _tiny()
+    eng = Engine(cfg, params, seq_buckets=(16,), tile_buckets=(1,))
+    cont = ContinuousEngine(eng, slots=2, cache_len=512)
+    gen = GenerateConfig(greedy=True, repetition_penalty=1.2)
+    try:
+        cont.run(_requests(cfg, n=1), gen_cfg=gen)
+        assert False, "expected assertion"
+    except AssertionError as e:
+        assert "repetition_penalty" in str(e)

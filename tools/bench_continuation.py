@@ -75,7 +75,9 @@ def main():
     params = vlm.init_params(cfg, jax.random.PRNGKey(0))
     ctx, new = args.ctx, args.new
     total = ctx + new
-    cache_len = total + 128
+    # ×512: the chunked tiers want kv len % chunk == 0 and flash wants
+    # lane-aligned (×128) blocks — 512 keeps both at full-width chunks
+    cache_len = (total + 128 + 511) // 512 * 512
     rng = np.random.RandomState(0)
     t_ctx = jnp.asarray(rng.randint(1, 1000, (1, ctx)).astype(np.int32))
     t_new = jnp.asarray(rng.randint(1, 1000, (1, new)).astype(np.int32))
@@ -96,8 +98,9 @@ def main():
 
     # engine over-bucket chunked prefill loop (product path): TTFT for the
     # full 8k prompt against ctx-sized buckets
-    engine = Engine(cfg, params, seq_buckets=(ctx, cache_len),
-                    tile_buckets=(0,))
+    # only ctx-sized buckets: the full prompt is ABOVE the largest bucket,
+    # which is exactly what routes generate through the chunked-prefill loop
+    engine = Engine(cfg, params, seq_buckets=(ctx,), tile_buckets=(0,))
     gen = GenerateConfig(max_new_tokens=1, greedy=True,
                          eos_token_ids=(999999,))
     prompt = [rng.randint(1, 1000, total - 96).astype(np.int32)]

@@ -78,13 +78,26 @@ def main(seq=4096, n_tiles=8, steps=8, remat="full", remat_vision=None):
     # MFU counts useful model FLOPs only (6·N·D); full remat re-runs the
     # forward in the backward, so hardware utilization is ~4/3 of this
     mfu = 6 * n_params * seq / dt / V5E_BF16_FLOPS
+    # token-weighted MFU: 6ND bills the vision tower at the TEXT sequence
+    # length, but the tower actually processes n_tiles × 676 patch tokens
+    # (at 48 tiles that's 2× the text tokens — 6ND then undercounts nearly
+    # half the useful FLOPs). Weight each parameter group by the tokens it
+    # really sees. The projector (169 tokens/tile) is lumped with text —
+    # it is <1% of params.
+    n_vis = sum(
+        p.size for p in jax.tree_util.tree_leaves(state.params["vision"])
+    )
+    patches = (cfg.vision.image_size // cfg.vision.patch_size) ** 2
+    useful = 6 * ((n_params - n_vis) * seq + n_vis * n_tiles * patches)
+    mfu_tw = useful / dt / V5E_BF16_FLOPS
     print(
         f"train step: {seq / dt:.0f} tokens/s/chip "
         f"({dt * 1e3:.0f} ms/step, {n_params / 1e9:.3f}B params, seq {seq}, "
         f"{n_tiles} tiles, {remat} remat"
         f"{'' if remat_vision is None else f' (+{remat_vision} vision)'},"
         f" flash fwd+bwd) "
-        f"MFU(6ND)={mfu * 100:.1f}% loss={loss:.3f}"
+        f"MFU(6ND)={mfu * 100:.1f}% "
+        f"MFU(token-weighted)={mfu_tw * 100:.1f}% loss={loss:.3f}"
     )
 
 
