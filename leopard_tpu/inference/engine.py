@@ -206,8 +206,13 @@ class Engine:
         patch_mask: Optional[np.ndarray] = None,
         gen_cfg: Optional[GenerateConfig] = None,
         max_cache: Optional[int] = None,
+        spec=None,                                  # SpecConfig → speculative decode
     ) -> GenerationResult:
         gen_cfg = gen_cfg or self.gen_cfg
+        if spec is not None:
+            assert gen_cfg.greedy and gen_cfg.repetition_penalty == 1.0, (
+                "speculative decoding is greedy-only (inference/speculative.py)"
+            )
         b = len(prompts)
         lengths = [len(p) for p in prompts]
         s = self._bucket(max(lengths), self.seq_buckets)
@@ -272,11 +277,24 @@ class Engine:
                 first_logits = logits_j if first_logits is None else jnp.where(
                     pick[:, None], logits_j, first_logits
                 )
-        gen_buf, gen_mask, lp_buf, _ = _decode(
-            self.params, self.cfg, gen_cfg, first_logits,
-            jnp.asarray(tokens), jnp.asarray(seg), cache,
-            jax.random.PRNGKey(gen_cfg.seed), gen_cfg.max_new_tokens,
-        )
+        if spec is not None:
+            from leopard_tpu.inference.speculative import _spec_decode
+
+            # history buffer: prompt left-packed, generated tokens appended
+            # contiguously per row (n-gram lookup source)
+            hist0 = np.zeros((b, s + gen_cfg.max_new_tokens), np.int32)
+            hist0[:, :s] = tokens
+            gen_buf, gen_mask, lp_buf, _ = _spec_decode(
+                self.params, self.cfg, gen_cfg, first_logits,
+                jnp.asarray(hist0), jnp.asarray(lengths, dtype=jnp.int32),
+                cache, gen_cfg.max_new_tokens, spec.ngram, spec.draft,
+            )
+        else:
+            gen_buf, gen_mask, lp_buf, _ = _decode(
+                self.params, self.cfg, gen_cfg, first_logits,
+                jnp.asarray(tokens), jnp.asarray(seg), cache,
+                jax.random.PRNGKey(gen_cfg.seed), gen_cfg.max_new_tokens,
+            )
         # ONE host transfer for all three buffers: each separate np.asarray
         # is a device round-trip (~200 ms through a TCP-relayed TPU)
         gen_buf, gen_mask, lp_buf = jax.device_get((gen_buf, gen_mask, lp_buf))
