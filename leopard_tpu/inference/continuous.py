@@ -199,15 +199,12 @@ class ContinuousEngine:
             key=jax.random.PRNGKey(gen_cfg.seed),
         )
 
-        def harvest(state, row: int):
-            """Pull slot `row`'s finished completion to the host."""
+        def harvest(row: int, buf, mask):
+            """Record slot `row`'s finished completion (host-side data)."""
             ri = slot_req[row]
             if ri < 0:
                 return
-            buf, mask = jax.device_get(
-                (state["gen_buf"][row], state["gen_mask"][row])
-            )
-            toks = buf[mask]
+            toks = buf[row][mask[row]]
             stop = np.isin(toks, np.asarray(gen_cfg.eos_token_ids))
             if stop.any():
                 toks = toks[: int(np.argmax(stop))]
@@ -216,10 +213,16 @@ class ContinuousEngine:
             )
 
         while True:
-            done_host = np.asarray(jax.device_get(state["done"]))
-            free_rows = np.nonzero(done_host)[0]
+            # ONE host transfer per segment boundary: done flags + output
+            # buffers together. Each separate device_get is a full relay
+            # round-trip (~50-200 ms) — fetching per finished slot was
+            # measured to cost more than the decode segments themselves.
+            done_host, buf_host, mask_host = jax.device_get(
+                (state["done"], state["gen_buf"], state["gen_mask"])
+            )
+            free_rows = np.nonzero(np.asarray(done_host))[0]
             for row in free_rows:
-                harvest(state, int(row))
+                harvest(int(row), buf_host, mask_host)
                 slot_req[int(row)] = -1
             # refill free slots from the queue
             for row in free_rows:

@@ -136,6 +136,9 @@ class GenerationResult:
     tokens: List[np.ndarray]          # generated ids per row (trimmed at eos)
     prompt_lengths: List[int]
     logprobs: Optional[List[np.ndarray]] = None  # per-token logprob, same trim
+    # speculative decode only: verify forwards run; raw emitted tokens
+    # (pre-trim) / spec_rounds = measured tokens-per-weight-read gain
+    spec_rounds: Optional[int] = None
 
 
 class Engine:
@@ -161,10 +164,12 @@ class Engine:
         step)."""
         self.cfg = cfg
         self.mesh = mesh
-        if quantize == "int8":
+        if quantize in ("int8", "int4"):
             from leopard_tpu.ops.quant import quantize_tree
 
-            params = dict(params, text=quantize_tree(params["text"]))
+            params = dict(
+                params, text=quantize_tree(params["text"], mode=quantize)
+            )
         elif quantize is not None:
             raise ValueError(f"unknown quantize mode {quantize}")
         if mesh is not None:
@@ -284,7 +289,7 @@ class Engine:
             # contiguously per row (n-gram lookup source)
             hist0 = np.zeros((b, s + gen_cfg.max_new_tokens), np.int32)
             hist0[:, :s] = tokens
-            gen_buf, gen_mask, lp_buf, _ = _spec_decode(
+            gen_buf, gen_mask, lp_buf, _, spec_rounds = _spec_decode(
                 self.params, self.cfg, gen_cfg, first_logits,
                 jnp.asarray(hist0), jnp.asarray(lengths, dtype=jnp.int32),
                 cache, gen_cfg.max_new_tokens, spec.ngram, spec.draft,
@@ -295,9 +300,12 @@ class Engine:
                 jnp.asarray(tokens), jnp.asarray(seg), cache,
                 jax.random.PRNGKey(gen_cfg.seed), gen_cfg.max_new_tokens,
             )
-        # ONE host transfer for all three buffers: each separate np.asarray
-        # is a device round-trip (~200 ms through a TCP-relayed TPU)
-        gen_buf, gen_mask, lp_buf = jax.device_get((gen_buf, gen_mask, lp_buf))
+        # ONE host transfer for all buffers: each separate np.asarray is a
+        # device round-trip (~200 ms through a TCP-relayed TPU)
+        spec_rounds = spec_rounds if spec is not None else np.int32(0)
+        gen_buf, gen_mask, lp_buf, spec_rounds = jax.device_get(
+            (gen_buf, gen_mask, lp_buf, spec_rounds)
+        )
         out, out_lp = [], []
         for i in range(b):
             row = gen_buf[i][gen_mask[i]]
@@ -309,4 +317,7 @@ class Engine:
                 row, lps = row[:n], lps[:n]
             out.append(row)
             out_lp.append(lps)
-        return GenerationResult(tokens=out, prompt_lengths=lengths, logprobs=out_lp)
+        return GenerationResult(
+            tokens=out, prompt_lengths=lengths, logprobs=out_lp,
+            spec_rounds=int(spec_rounds) if spec is not None else None,
+        )

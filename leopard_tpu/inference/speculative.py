@@ -104,8 +104,11 @@ def _propose(hist, total, ngram: int, k: int):
 def _spec_decode(params, cfg: VLMConfig, gen_cfg: GenerateConfig,
                  first_logits, hist0, hist_len, cache,
                  max_new_tokens: int, ngram: int, k: int):
-    """Greedy speculative decode loop. Same contract as engine._decode:
-    returns (gen_buf, gen_mask, lp_buf, final cache). gen_buf rows may run
+    """Greedy speculative decode loop. Same contract as engine._decode plus
+    a trailing round counter: returns (gen_buf, gen_mask, lp_buf, final
+    cache, n_rounds). n_rounds is the number of verify forwards run —
+    emitted_tokens / n_rounds is the measured speculation gain (1.0 =
+    nothing accepted, draft+1 = every draft accepted). gen_buf rows may run
     past an eos token (the whole accepted block is recorded); the engine's
     host-side trim cuts at the first eos, so results match plain decode."""
     b = first_logits.shape[0]
@@ -226,5 +229,5 @@ def _spec_decode(params, cfg: VLMConfig, gen_cfg: GenerateConfig,
     carry = (jnp.int32(1), cache, tok0, hist, done0, n_gen,
              gen_buf, gen_mask, lp_buf)
     carry = jax.lax.while_loop(cond, body, carry)
-    _, cache, _, _, _, _, gen_buf, gen_mask, lp_buf = carry
-    return gen_buf, gen_mask, lp_buf, cache
+    i, cache, _, _, _, _, gen_buf, gen_mask, lp_buf = carry
+    return gen_buf, gen_mask, lp_buf, cache, i - 1

@@ -1,0 +1,115 @@
+"""Weight-only int4: pack/unpack roundtrip, grouped-dequant matmul paths
+(reference einsum vs Pallas VMEM-unpack kernel in interpret mode), tree
+quantization with int8 fallback for odd widths, and engine decode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from leopard_tpu.ops.quant import (
+    _unpack_int4,
+    dequantize_tree,
+    matmul,
+    quantize_int4,
+    quantize_tree,
+)
+
+
+@pytest.fixture
+def interpret_mode():
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+def test_int4_roundtrip_error_bound():
+    rng = np.random.RandomState(0)
+    w = rng.randn(512, 256).astype(np.float32) * 0.02
+    q = quantize_int4(jnp.asarray(w))
+    assert q["q4"].shape == (256, 256) and q["q4"].dtype == jnp.uint8
+    assert q["s"].shape == (4, 256)
+    back = np.asarray(_unpack_int4(q))
+    # max error ≤ half a quant step = group-max/14
+    gmax = np.abs(w.reshape(4, 128, 256)).max(axis=1)
+    step = np.repeat(gmax / 7.0, 128, axis=0)
+    assert np.all(np.abs(back - w) <= step / 2 + 1e-7)
+
+
+def test_int4_dequant_exact_vs_manual():
+    rng = np.random.RandomState(1)
+    w = rng.randn(256, 128).astype(np.float32)
+    q = quantize_int4(jnp.asarray(w))
+    lo = (np.asarray(q["q4"]) & 15).astype(np.int32) - 8
+    hi = (np.asarray(q["q4"]) >> 4).astype(np.int32) - 8
+    qs = np.concatenate([lo, hi], axis=0)                   # split-half
+    s = np.repeat(np.asarray(q["s"]), 128, axis=0)
+    np.testing.assert_allclose(np.asarray(_unpack_int4(q)), qs * s, rtol=1e-6)
+
+
+def test_int4_matmul_ref_path():
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(4, 512).astype(np.float32))
+    w = jnp.asarray(rng.randn(512, 384).astype(np.float32) * 0.05)
+    q = quantize_int4(w)
+    got = matmul(x, q)                      # CPU → reference einsum path
+    want = x @ _unpack_int4(q)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_int4_pallas_kernel_matches_ref(interpret_mode):
+    from leopard_tpu.ops.pallas.int4_matmul import int4_matmul
+
+    rng = np.random.RandomState(3)
+    for m, k, n in ((1, 256, 256), (8, 512, 384), (16, 256, 128)):
+        x = jnp.asarray(rng.randn(m, k).astype(np.float32))
+        w = jnp.asarray(rng.randn(k, n).astype(np.float32) * 0.05)
+        q = quantize_int4(w)
+        got = np.asarray(int4_matmul(x, q["q4"], q["s"]))
+        want = np.asarray(
+            x.astype(jnp.bfloat16) @ _unpack_int4(q).astype(jnp.bfloat16)
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_quantize_tree_int4_with_adaptive_group_and_int8_fallback():
+    params = {
+        "wq": jnp.ones((256, 128), jnp.float32),       # group 128
+        "w_up": jnp.ones((192, 128), jnp.float32),     # shrinks to group 32
+        "w_down": jnp.ones((24, 128), jnp.float32),    # unpackable → int8
+        "norm": jnp.ones((128,), jnp.float32),
+    }
+    q = quantize_tree(params, mode="int4")
+    assert "q4" in q["wq"] and q["wq"]["s"].shape == (2, 128)
+    assert "q4" in q["w_up"] and q["w_up"]["s"].shape == (6, 128)
+    assert "q" in q["w_down"]
+    assert q["norm"].shape == (128,)
+    d = dequantize_tree(q)
+    assert d["wq"].shape == (256, 128) and d["w_up"].shape == (192, 128)
+
+
+def test_engine_generates_with_int4():
+    from leopard_tpu import config as cfgs
+    from leopard_tpu.config import GenerateConfig
+    from leopard_tpu.inference.engine import Engine
+    from leopard_tpu.models import vlm
+
+    cfg = cfgs.tiny_vlm()
+    params = vlm.init_params(cfg, jax.random.PRNGKey(0))
+    gen = GenerateConfig(max_new_tokens=6, greedy=True, eos_token_ids=(0,))
+    rng = np.random.RandomState(4)
+    prompts = [rng.randint(1, 100, 9).astype(np.int32)]
+    eng4 = Engine(cfg, params, seq_buckets=(16,), tile_buckets=(1,),
+                  quantize="int4")
+    res = eng4.generate(prompts, gen_cfg=gen)
+    assert len(res.tokens[0]) <= 6
+    # int4 ≈ the fp model's choices on a tiny net: compare against the
+    # explicitly dequantized weights run through the plain engine — the
+    # quantization error is the ONLY difference, so tokens must match
+    from leopard_tpu.ops.quant import dequantize_tree as dq
+
+    params_dq = dict(params, text=dq(eng4.params["text"], dtype=jnp.float32))
+    eng_dq = Engine(cfg, params_dq, seq_buckets=(16,), tile_buckets=(1,))
+    want = eng_dq.generate(prompts, gen_cfg=gen)
+    np.testing.assert_array_equal(res.tokens[0], want.tokens[0])
