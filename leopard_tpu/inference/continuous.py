@@ -81,7 +81,9 @@ def _refill_slot(state: dict, row_cache: KVCache, first_logits, row,
     return dict(
         cache=_tree_insert_row(state["cache"], row_cache, row),
         logits=jnp.where(onrow[:, None], first_logits, state["logits"]),
-        done=jnp.where(onrow, False, state["done"]),
+        # a zero-budget request is born done — otherwise _decode_segment
+        # records one token before the budget check fires (ADVICE r3)
+        done=jnp.where(onrow, budget <= 0, state["done"]),
         n_gen=jnp.where(onrow, 0, state["n_gen"]),
         budget=jnp.where(onrow, budget, state["budget"]),
         gen_buf=jnp.where(onrow[:, None], 0, state["gen_buf"]),
@@ -176,6 +178,13 @@ class ContinuousEngine:
             "(use Engine.generate)"
         )
         for r in requests:
+            if r.max_new_tokens > self.max_new_cap:
+                import warnings
+
+                warnings.warn(
+                    f"request max_new_tokens {r.max_new_tokens} truncated to "
+                    f"engine max_new_cap {self.max_new_cap}", stacklevel=2,
+                )
             need = len(r.prompt) + min(r.max_new_tokens, self.max_new_cap)
             assert need <= self.cache_len, (
                 f"request needs {need} cache slots > cache_len "

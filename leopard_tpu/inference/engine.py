@@ -234,9 +234,20 @@ class Engine:
         # get a 4096-slot cache), which is what bounds the eval batch size
         # on a 16 GB chip at the 8B profile. Program count stays bounded:
         # cache_len is a function of the (already bucketed) s.
+        # Speculative decode needs verify-block headroom: the last verify
+        # forward writes draft+1 KV slots starting at index len+n_gen-1, so
+        # without +draft the final round's per-row DUS start CLAMPS and
+        # silently overwrites the newest valid KV — tokens near max_new then
+        # diverge from plain greedy (ADVICE r3, verified at prompt==bucket).
+        spec_pad = spec.draft if spec is not None else 0
         cache_len = max_cache or round_up(
-            s + gen_cfg.max_new_tokens, 512
+            s + gen_cfg.max_new_tokens + spec_pad, 512
         )
+        if spec is not None and max_cache is not None:
+            assert max_cache >= s + gen_cfg.max_new_tokens + spec.draft, (
+                f"max_cache {max_cache} leaves no verify-block headroom for "
+                f"speculative decode (need >= {s + gen_cfg.max_new_tokens + spec.draft})"
+            )
         cache = KVCache.create(self.cfg.text, b, cache_len,
                                quantized=self.quantize_kv)
 

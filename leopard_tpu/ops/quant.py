@@ -100,6 +100,27 @@ def matmul(x: jnp.ndarray, w: Any) -> jnp.ndarray:
 
             y = int4_matmul(x.reshape(m, k), w["q4"], w["s"])
             return y.astype(x.dtype).reshape(*lead, -1)
+        # Grouped-einsum reference path (CPU, and TPU shapes the kernel
+        # doesn't take: m > 64 — compute-bound prefill — or non-128 groups).
+        # Contracts per (group, out-channel) WITHOUT materializing a [K, N]
+        # f32 dequantized tensor: the nibbles unpack to int8, cast to
+        # x.dtype inside the einsum, and the f32 scales apply to the
+        # [..., K//G, N] partial sums (ADVICE r3: the old path built the
+        # full f32 weight per layer per call).
+        q4, s = w["q4"], w["s"]
+        if q4.ndim == 2:
+            kh, n = q4.shape
+            kk = 2 * kh
+            group = kk // s.shape[0]
+            lo = (q4 & 15).astype(jnp.int8)
+            hi = (q4 >> 4).astype(jnp.int8)
+            q = jnp.concatenate([lo, hi], axis=0) - jnp.int8(8)  # [K, N] int8
+            xg = x.reshape(*lead, kk // group, group)
+            qg = q.reshape(kk // group, group, n).astype(x.dtype)
+            part = jnp.einsum("...ag,agn->...an", xg, qg)
+            return jnp.einsum(
+                "...an,an->...n", part.astype(jnp.float32), s
+            ).astype(x.dtype)
         return (x @ _unpack_int4(w).astype(x.dtype))
     if is_quantized(w):
         y = x @ w["q"].astype(x.dtype)

@@ -113,3 +113,38 @@ def test_continuous_rejects_repetition_penalty():
         assert False, "expected assertion"
     except AssertionError as e:
         assert "repetition_penalty" in str(e)
+
+
+def test_continuous_zero_budget_emits_nothing():
+    """ADVICE r3: a max_new_tokens=0 request used to emit one token (the
+    budget check ran after the first record)."""
+    cfg, params = _tiny()
+    eng = Engine(cfg, params, seq_buckets=(16,), tile_buckets=(1,))
+    gen = GenerateConfig(greedy=True, eos_token_ids=(0,))
+    reqs = [
+        Request(prompt=np.arange(1, 6, dtype=np.int32), max_new_tokens=0),
+        Request(prompt=np.arange(2, 9, dtype=np.int32), max_new_tokens=4),
+    ]
+    cont = ContinuousEngine(eng, slots=2, cache_len=512, max_new_cap=16,
+                            segment_steps=2)
+    got = cont.run(reqs, gen_cfg=gen)
+    assert got[0].tokens.size == 0
+    want = _serial_oracle(eng, [reqs[1]], gen)
+    np.testing.assert_array_equal(got[1].tokens, want[0])
+
+
+def test_continuous_warns_on_budget_above_cap():
+    import warnings
+
+    cfg, params = _tiny()
+    eng = Engine(cfg, params, seq_buckets=(16,), tile_buckets=(1,))
+    gen = GenerateConfig(greedy=True, eos_token_ids=(0,))
+    reqs = [Request(prompt=np.arange(1, 6, dtype=np.int32),
+                    max_new_tokens=99)]
+    cont = ContinuousEngine(eng, slots=1, cache_len=512, max_new_cap=8,
+                            segment_steps=2)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = cont.run(reqs, gen_cfg=gen)
+    assert any("truncated" in str(x.message) for x in w)
+    assert got[0].tokens.size <= 8

@@ -113,3 +113,20 @@ def test_engine_generates_with_int4():
     eng_dq = Engine(cfg, params_dq, seq_buckets=(16,), tile_buckets=(1,))
     want = eng_dq.generate(prompts, gen_cfg=gen)
     np.testing.assert_array_equal(res.tokens[0], want.tokens[0])
+
+
+def test_int4_grouped_fallback_no_full_dequant():
+    """ADVICE r3: the non-kernel path must not materialize the full [K, N]
+    f32 dequantized weight. The grouped einsum contracts per (group, out)
+    and applies scales to partial sums; check exactness vs the unpack
+    oracle across x ranks and a non-128 group size."""
+    rng = np.random.RandomState(9)
+    for xshape, group in (((4, 512), 128), ((2, 3, 512), 128),
+                          ((5, 256), 64)):
+        x = jnp.asarray(rng.randn(*xshape).astype(np.float32))
+        w = jnp.asarray(rng.randn(xshape[-1], 192).astype(np.float32) * 0.05)
+        q = quantize_int4(w, group=group)
+        got = matmul(x, q)
+        want = x @ _unpack_int4(q).astype(x.dtype)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)

@@ -122,3 +122,30 @@ def test_spec_rejects_sampling():
         assert False, "expected assertion"
     except AssertionError as e:
         assert "greedy" in str(e)
+
+
+def test_spec_cache_headroom_at_bucket_boundary():
+    """ADVICE r3 (medium): with prompt == bucket and (s + max_new) an exact
+    multiple of 512, the cache used to be sized with NO headroom for the
+    verify block — the last rounds' per-row DUS writes clamped and
+    overwrote live KV, silently diverging from plain greedy near the end.
+    eos (-1,) never fires so decode runs the full budget."""
+    cfg, params = _tiny()
+    eng = Engine(cfg, params, seq_buckets=(16,), tile_buckets=(1,))
+    gen = GenerateConfig(max_new_tokens=496, greedy=True,
+                         eos_token_ids=(-1,))
+    rng = np.random.RandomState(11)
+    prompts = [rng.randint(1, 100, 16).astype(np.int32)]
+    _assert_spec_matches(eng, prompts, gen, SpecConfig(ngram=2, draft=7))
+
+
+def test_spec_tight_max_cache_rejected():
+    cfg, params = _tiny()
+    eng = Engine(cfg, params, seq_buckets=(16,), tile_buckets=(1,))
+    gen = GenerateConfig(max_new_tokens=16, greedy=True, eos_token_ids=(0,))
+    try:
+        eng.generate([np.arange(1, 9, dtype=np.int32)], gen_cfg=gen,
+                     spec=SpecConfig(draft=7), max_cache=32)
+        assert False, "expected assertion"
+    except AssertionError as e:
+        assert "headroom" in str(e)
