@@ -112,6 +112,9 @@ class TextConfig:
     moe_dropless: bool = False
     moe_aux_loss_coef: float = 1e-2
     moe_z_loss_coef: float = 1e-3
+    # expert-parallel all-to-all transport capacity factor (ops/moe.py):
+    # <= 0 → worst-case buckets (zero drops); ~2.0 for production EP
+    moe_ep_capacity_factor: float = 0.0
 
     @property
     def q_per_kv(self) -> int:

@@ -67,21 +67,32 @@ class LeopardLlavaEvalAdapter:
         layout: str = "eval",
         max_images: int = 50,
         device_preprocess: bool = True,
+        quantize: Optional[str] = None,
+        quantize_kv: bool = False,
+        spec=None,
     ):
         """`device_preprocess` ships raw uint8 tiles and normalizes inside
         the encoder jit (4× less host→device transfer; frees the 1-core
         host) — the product wiring of ops/image.py (VERDICT r2 weak #3).
         Set False to normalize on host (byte-compatible with the HF
-        processor output, for debugging)."""
+        processor output, for debugging).
+
+        `quantize` ("int8"/"int4") serves with weight-only quantized decoder
+        matmuls; `quantize_kv` stores the KV cache int8. `spec` (a
+        SpecConfig) decodes with prompt-lookup speculation — token-identical
+        to plain greedy, faster exactly on the quote-heavy DocVQA-style
+        answers this harness scores (inference/speculative.py)."""
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.layout = layout
         self.max_images = max_images
         self.device_preprocess = device_preprocess
+        self.spec = spec
         self.gen_cfg = gen_cfg or GenerateConfig(
             max_new_tokens=128, greedy=True, eos_token_ids=(128001, 128009)
         )
-        self.engine = Engine(cfg, params, self.gen_cfg)
+        self.engine = Engine(cfg, params, self.gen_cfg, quantize=quantize,
+                             quantize_kv=quantize_kv)
 
     def load_images(self, paths: Sequence[str]):
         return [Image.open(p).convert("RGB") for p in paths]
@@ -165,7 +176,8 @@ class LeopardLlavaEvalAdapter:
         masks = [s.patch_mask for s in batch if s.patch_mask is not None]
         patch_mask = np.concatenate(masks, axis=0) if masks else None
         result = self.engine.generate(
-            prompts, images=pixels, patch_mask=patch_mask, gen_cfg=self.gen_cfg
+            prompts, images=pixels, patch_mask=patch_mask,
+            gen_cfg=self.gen_cfg, spec=self.spec,
         )
         return [
             self.tokenizer.decode(t.tolist(), skip_special_tokens=True)
@@ -181,19 +193,23 @@ class LeopardIdefics2EvalAdapter:
     images, fp16-class decode (≙ evaluations/models/idefics2_multiimg.py:22-70)."""
 
     def __init__(self, cfg: VLMConfig, params, tokenizer,
-                 gen_cfg: Optional[GenerateConfig] = None, max_images: int = 8):
+                 gen_cfg: Optional[GenerateConfig] = None, max_images: int = 8,
+                 quantize: Optional[str] = None, quantize_kv: bool = False,
+                 spec=None):
         from leopard_tpu.data.idefics2_processor import preprocess_idefics2
 
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
         self.max_images = max_images
+        self.spec = spec
         eos = tokenizer.convert_tokens_to_ids("<end_of_utterance>")
         self.gen_cfg = gen_cfg or GenerateConfig(
             max_new_tokens=128, greedy=True,
             eos_token_ids=tuple(t for t in (tokenizer.eos_token_id, eos) if t),
         )
-        self.engine = Engine(cfg, params, self.gen_cfg)
+        self.engine = Engine(cfg, params, self.gen_cfg, quantize=quantize,
+                             quantize_kv=quantize_kv)
         self._preprocess = preprocess_idefics2
 
     def prepare(self, row: dict, instruction: str) -> PreparedSample:
@@ -249,7 +265,8 @@ class LeopardIdefics2EvalAdapter:
             pixels = np.concatenate([p for p, _ in padded], axis=0)
             patch_mask = np.concatenate([m for _, m in padded], axis=0)
         result = self.engine.generate(
-            prompts, images=pixels, patch_mask=patch_mask, gen_cfg=self.gen_cfg
+            prompts, images=pixels, patch_mask=patch_mask,
+            gen_cfg=self.gen_cfg, spec=self.spec,
         )
         return [
             self.tokenizer.decode(t.tolist(), skip_special_tokens=True)

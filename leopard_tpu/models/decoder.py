@@ -413,6 +413,7 @@ def _layer(
             dropless=cfg.moe_dropless,
             aux_loss_coef=cfg.moe_aux_loss_coef,
             z_loss_coef=cfg.moe_z_loss_coef,
+            ep_capacity_factor=cfg.moe_ep_capacity_factor,
             intermediate_size=cfg.intermediate_size, hidden_size=h,
             dtype=cfg.dtype,
         )

@@ -25,9 +25,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 QUANT_TEXT_KEYS = {"wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down", "lm_head"}
 
 
-def build_host_params(cfg, quantize_text=True, seed=0):
+def _np_quantize_int4(arr, group=128):
+    """numpy mirror of ops/quant.py::quantize_int4 (split-half nibble pack,
+    per-(group, out-channel) scales) — lets the 8B int4 profile build on the
+    host without materializing bf16 weights on device."""
+    *lead, k, n = arr.shape
+    assert k % (2 * group) == 0, (k, group)
+    wf = arr.reshape(*lead, k // group, group, n)
+    s = np.maximum(np.abs(wf).max(axis=-2, keepdims=True) / 7.0, 1e-8)
+    q = (np.clip(np.round(wf / s), -7, 7) + 8.0).astype(np.uint8)
+    q = q.reshape(*lead, k, n)
+    lo, hi = q[..., : k // 2, :], q[..., k // 2 :, :]
+    return {"q4": lo | (hi << 4),
+            "s": s.reshape(*lead, k // group, n).astype(np.float32)}
+
+
+def build_host_params(cfg, quantize_text="int8", seed=0):
     """numpy param tree with the exact structure/dtypes of vlm.init_params,
-    with the decoder's matmul weights already int8-quantized (dict{q,s})."""
+    with the decoder's matmul weights already quantized (dict{q,s} for int8,
+    dict{q4,s} for int4 — same layouts as ops/quant.py)."""
     import jax
     import ml_dtypes
 
@@ -52,6 +68,8 @@ def build_host_params(cfg, quantize_text=True, seed=0):
         else:
             arr = fill(sd.shape, fan_in**-0.5)
         if quantize_text and keys[0] == "text" and keys[-1] in QUANT_TEXT_KEYS:
+            if quantize_text == "int4":
+                return _np_quantize_int4(arr)
             scale = np.maximum(np.abs(arr).max(axis=-2, keepdims=True) / 127.0, 1e-8)
             q = np.clip(np.round(arr / scale), -127, 127).astype(np.int8)
             return {"q": q, "s": scale.astype(np.float32)}
@@ -61,7 +79,7 @@ def build_host_params(cfg, quantize_text=True, seed=0):
 
 
 def main(n_tiles=16, seq=4096, new_tokens=128, decode_batches=(1, 8),
-         decode_only=False):
+         decode_only=False, quantize="int8"):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/leopard_jax_cache")
@@ -76,9 +94,13 @@ def main(n_tiles=16, seq=4096, new_tokens=128, decode_batches=(1, 8),
     from leopard_tpu.models.decoder import KVCache
 
     cfg = cfgs.leopard_llava_8b()
-    print("building 8B host params (numpy, int8 decoder)...", flush=True)
+    print(f"building 8B host params (numpy, {quantize} decoder)...", flush=True)
     t0 = time.perf_counter()
-    cache_file = "/tmp/leopard8b_host_params.pkl"
+    cache_file = f"/tmp/leopard8b_host_params_{quantize}.pkl"
+    if quantize == "int8" and not os.path.exists(cache_file):
+        legacy = "/tmp/leopard8b_host_params.pkl"  # pre-r4 cache name
+        if os.path.exists(legacy):
+            cache_file = legacy
     if os.path.exists(cache_file):
         import pickle
 
@@ -86,7 +108,7 @@ def main(n_tiles=16, seq=4096, new_tokens=128, decode_batches=(1, 8),
             host = pickle.load(f)
         print("  (loaded from cache)", flush=True)
     else:
-        host = build_host_params(cfg)
+        host = build_host_params(cfg, quantize_text=quantize)
         import pickle
 
         with open(cache_file, "wb") as f:
@@ -110,7 +132,8 @@ def main(n_tiles=16, seq=4096, new_tokens=128, decode_batches=(1, 8),
     )
 
     if decode_only:
-        _decode_section(params, cfg, tokens, seq, new_tokens, decode_batches)
+        _decode_section(params, cfg, tokens, seq, new_tokens, decode_batches,
+                        quantize)
         return
 
     # ---- encoder ----
@@ -150,10 +173,12 @@ def main(n_tiles=16, seq=4096, new_tokens=128, decode_batches=(1, 8),
     dt = (time.perf_counter() - t0) / iters
     print(f"prefill: {seq/dt:.1f} tok/s, TTFT {dt*1e3:.1f} ms ({n_tiles} tiles + {seq} tok)", flush=True)
 
-    _decode_section(params, cfg, tokens, seq, new_tokens, decode_batches)
+    _decode_section(params, cfg, tokens, seq, new_tokens, decode_batches,
+                    quantize)
 
 
-def _decode_section(params, cfg, tokens, seq, new_tokens, decode_batches):
+def _decode_section(params, cfg, tokens, seq, new_tokens, decode_batches,
+                    quantize="int8"):
     import jax
     import jax.numpy as jnp
 
@@ -190,7 +215,7 @@ def _decode_section(params, cfg, tokens, seq, new_tokens, decode_batches):
         np.asarray(out)
         dt = time.perf_counter() - t0
         print(
-            f"decode (int8 weights + int8 KV, batch {b}): "
+            f"decode ({quantize} weights + int8 KV, batch {b}): "
             f"{b*new_tokens/dt:.1f} tok/s total ({dt*1e3/new_tokens:.2f} ms/step)",
             flush=True,
         )
@@ -203,5 +228,7 @@ if __name__ == "__main__":
     p.add_argument("--decode-only", action="store_true",
                    help="skip encoder/prefill timing (crossover retunes)")
     p.add_argument("--batches", type=int, nargs="+", default=[1, 8])
+    p.add_argument("--quantize", default="int8", choices=("int8", "int4"))
     a = p.parse_args()
-    main(decode_batches=tuple(a.batches), decode_only=a.decode_only)
+    main(decode_batches=tuple(a.batches), decode_only=a.decode_only,
+         quantize=a.quantize)

@@ -10,7 +10,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(prompt_len=512, new_tokens=128, batch=1, quantize=False,
+def main(prompt_len=512, new_tokens=128, batch=1, quantize=None,
          kv_store="auto"):
     os.environ["LEOPARD_KV_STORE"] = kv_store
     import jax
@@ -25,9 +25,8 @@ def main(prompt_len=512, new_tokens=128, batch=1, quantize=False,
 
     cfg = _flagship_single_chip_cfg()
     params = vlm.init_params(cfg, jax.random.PRNGKey(0))
-    engine = Engine(cfg, params,
-                    quantize="int8" if quantize else None,
-                    quantize_kv=quantize)
+    engine = Engine(cfg, params, quantize=quantize,
+                    quantize_kv=quantize is not None)
     gen = GenerateConfig(max_new_tokens=new_tokens, greedy=True,
                          eos_token_ids=(999999,))
     prompts = [np.random.RandomState(i).randint(1, 1000, prompt_len).astype(np.int32)
@@ -37,8 +36,9 @@ def main(prompt_len=512, new_tokens=128, batch=1, quantize=False,
     engine.generate(prompts, gen_cfg=gen)
     dt = time.perf_counter() - t0
     total = new_tokens * batch
-    print(f"decode: {total / dt:.1f} tokens/s (batch {batch}, "
-          f"{new_tokens} steps, {dt * 1e3 / new_tokens:.2f} ms/step)")
+    print(f"decode ({quantize or 'bf16'}): {total / dt:.1f} tokens/s "
+          f"(batch {batch}, {new_tokens} steps, "
+          f"{dt * 1e3 / new_tokens:.2f} ms/step)")
 
 
 if __name__ == "__main__":
@@ -48,8 +48,8 @@ if __name__ == "__main__":
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--prompt-len", type=int, default=512)
     p.add_argument("--new-tokens", type=int, default=128)
-    p.add_argument("--quantize", action="store_true",
-                   help="int8 weight-only + int8 KV cache")
+    p.add_argument("--quantize", default=None, choices=("int8", "int4"),
+                   help="weight-only quantization + int8 KV cache")
     p.add_argument("--kv-store", choices=("auto", "scatter", "dus"),
                    default="auto",
                    help="force the cache-write formulation (crossover tuning)")
