@@ -1,7 +1,12 @@
 """Serve a Leopard checkpoint over HTTP.
 
+  # plain engine (sampling, logprobs, optional speculative decoding)
   python examples/serve.py --checkpoint /ckpts/leopard-llava-hf \
-      --tokenizer /ckpts/leopard-llava-hf --port 5000 --quantize int8
+      --tokenizer /ckpts/leopard-llava-hf --port 5000 --quantize int8 --spec 7
+
+  # continuous batching (slot refill, per-request token budgets)
+  python examples/serve.py --checkpoint /ckpts/leopard-llava-hf \
+      --continuous --slots 8 --cache-len 2048 --quantize int8
 """
 
 from __future__ import annotations
@@ -15,9 +20,18 @@ def main():
     p.add_argument("--tokenizer", default=None)
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=5000)
-    p.add_argument("--quantize", default=None, choices=[None, "int8"])
+    p.add_argument("--quantize", default=None, choices=[None, "int8", "int4"])
     p.add_argument("--arch", default="leopard_llava",
                    choices=["leopard_llava", "leopard_idefics2"])
+    p.add_argument("--spec", type=int, default=0, metavar="DRAFT",
+                   help="prompt-lookup speculative decoding draft length for "
+                        "greedy requests (0 = off); token-identical output")
+    p.add_argument("--spec-ngram", type=int, default=2)
+    p.add_argument("--continuous", action="store_true",
+                   help="serve through the continuous-batching slot pool")
+    p.add_argument("--slots", type=int, default=8)
+    p.add_argument("--cache-len", type=int, default=2048)
+    p.add_argument("--max-new-cap", type=int, default=512)
     args = p.parse_args()
 
     from leopard_tpu import config as cfgs
@@ -38,8 +52,23 @@ def main():
     else:
         cfg = cfgs.leopard_idefics2_8b()
         params = convert_leopard_idefics2(sd, cfg)
-    engine = Engine(cfg, params, quantize=args.quantize)
-    GenerationServer(engine, tokenizer, args.host, args.port).serve_forever()
+    engine = Engine(cfg, params, quantize=args.quantize,
+                    quantize_kv=args.quantize is not None)
+    continuous = None
+    if args.continuous:
+        from leopard_tpu.inference.continuous import ContinuousEngine
+
+        continuous = ContinuousEngine(
+            engine, slots=args.slots, cache_len=args.cache_len,
+            max_new_cap=args.max_new_cap,
+        )
+    spec = None
+    if args.spec:
+        from leopard_tpu.inference.speculative import SpecConfig
+
+        spec = SpecConfig(ngram=args.spec_ngram, draft=args.spec)
+    GenerationServer(engine, tokenizer, args.host, args.port,
+                     continuous=continuous, spec=spec).serve_forever()
 
 
 if __name__ == "__main__":

@@ -1,24 +1,38 @@
-"""Minimal text/multimodal generation HTTP server.
+"""Text/multimodal generation HTTP server.
 
 Role parity with the reference's inference server
 (megatron/inference/text_generation_server.py, driven through
-megatron_patch/generation/api.py): a JSON API over the engine.
+megatron_patch/generation/api.py — text-only there), extended to the
+multimodal engine: prompts may carry `<image>` placeholders plus
+base64-encoded images, which are anyres-tiled (or NaViT-padded for
+Idefics2) on the host and spliced on-device exactly like the eval path.
 
   POST /api/generate
-    {"prompts": ["..."], "max_new_tokens": 64, "temperature": 1.0,
-     "top_k": 0, "top_p": 0.0, "greedy": true}
+    {"prompts": ["what is in <image>?"],
+     "images": [["<base64 png/jpeg>", ...]],        # optional, per prompt
+     "max_new_tokens": 64,                          # int or per-prompt list
+     "temperature": 1.0, "top_k": 0, "top_p": 0.0, "greedy": true}
   → {"text": [...], "logprobs": [[...]], "tokens": [[...]]}
 
   GET /health → {"status": "ok"}
 
-Single-threaded by design: one TPU program runs at a time; requests queue in
-the socket backlog (the reference serializes through a lock the same way).
+Serving modes (both single-threaded — one TPU program runs at a time, so
+requests queue in the socket backlog, the same serialization the reference
+gets from its lock):
+  - plain: one `Engine.generate` per request batch (supports sampling,
+    repetition penalty, logprobs, speculative decoding via `spec`);
+  - continuous (`continuous=ContinuousEngine(...)`): rows join the slot
+    pool, per-row `max_new_tokens` honored, finished slots refill from the
+    queue — short answers never wait for long ones within a request.
 """
 
 from __future__ import annotations
 
+import base64
+import io
 import json
 from http.server import BaseHTTPRequestHandler, HTTPServer
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -26,18 +40,80 @@ from leopard_tpu.config import GenerateConfig
 from leopard_tpu.inference.engine import Engine
 
 
+def _decode_images(b64_list) -> list:
+    from PIL import Image
+
+    return [
+        Image.open(io.BytesIO(base64.b64decode(b))).convert("RGB")
+        for b in b64_list
+    ]
+
+
 class GenerationServer:
     def __init__(self, engine: Engine, tokenizer, host: str = "0.0.0.0",
-                 port: int = 5000):
+                 port: int = 5000, continuous=None, spec=None):
+        """`continuous`: a ContinuousEngine over the same weights — requests
+        route through the slot-refill loop (per-row budgets, greedy/sampling,
+        no repetition penalty / logprobs). `spec`: a SpecConfig used for
+        greedy plain-mode requests (token-identical, faster on quote-heavy
+        answers)."""
         self.engine = engine
         self.tokenizer = tokenizer
         self.host = host
         self.port = port
+        self.continuous = continuous
+        self.spec = spec
+
+    def _prepare_row(self, text: str, pil_images: list
+                     ) -> Tuple[np.ndarray, Optional[np.ndarray],
+                                Optional[np.ndarray]]:
+        """Tokenize one prompt, splicing image-token blocks and producing
+        pixel tiles. Returns (ids, pixels, patch_mask)."""
+        cfg = self.engine.cfg
+        if not pil_images:
+            ids = self.tokenizer(text, add_special_tokens=True)["input_ids"]
+            return np.asarray(ids, np.int32), None, None
+        if cfg.architecture == "leopard_idefics2":
+            from leopard_tpu.data.chat import build_idefics2_prompt
+            from leopard_tpu.data.idefics2_processor import preprocess_idefics2
+
+            pixels, _, patch_mask = preprocess_idefics2(pil_images)
+            ids = build_idefics2_prompt(
+                self.tokenizer, text.replace("<image>", ""), len(pil_images),
+                image_seq_len=(cfg.perceiver.num_latents if cfg.perceiver
+                               else 64),
+                image_token_id=cfg.image_token_id,
+                fake_token_id=cfg.image_token_id - 1,
+            )
+            return np.asarray(ids, np.int32), pixels, patch_mask
+        from leopard_tpu.data.anyres import preprocess_tiles_uint8, tile_images
+        from leopard_tpu.data.chat import render_images_into_text
+
+        tiled = tile_images(
+            pil_images, tile_size=cfg.anyres.tile_size,
+            total_budget=cfg.anyres.tile_budget, order="eval",
+        )
+        pixels = preprocess_tiles_uint8(
+            tiled.tiles, tile_size=cfg.anyres.tile_size
+        )
+        ids = render_images_into_text(
+            self.tokenizer, text, tiled.tiles_per_image,
+            cfg.anyres.tokens_per_tile, image_token_id=cfg.image_token_id,
+            layout="eval",
+        )
+        return np.asarray(ids, np.int32), pixels, None
 
     def handle_generate(self, payload: dict) -> dict:
         prompts = payload["prompts"]
+        images_b64 = payload.get("images") or [[]] * len(prompts)
+        if len(images_b64) != len(prompts):
+            raise ValueError("images must have one (possibly empty) list "
+                             "per prompt")
+        max_new = payload.get("max_new_tokens", 128)
+        budgets = (list(max_new) if isinstance(max_new, (list, tuple))
+                   else [int(max_new)] * len(prompts))
         gen = GenerateConfig(
-            max_new_tokens=int(payload.get("max_new_tokens", 128)),
+            max_new_tokens=max(int(b) for b in budgets),
             temperature=float(payload.get("temperature", 1.0)),
             top_k=int(payload.get("top_k", 0)),
             top_p=float(payload.get("top_p", 0.0)),
@@ -46,19 +122,54 @@ class GenerationServer:
             eos_token_ids=tuple(payload.get("eos_token_ids", (128001, 128009))),
             seed=int(payload.get("seed", 0)),
         )
-        ids = [
-            np.asarray(self.tokenizer(p, add_special_tokens=True)["input_ids"],
-                       np.int32)
-            for p in prompts
-        ]
-        res = self.engine.generate(ids, gen_cfg=gen)
+        rows = [self._prepare_row(p, _decode_images(b))
+                for p, b in zip(prompts, images_b64)]
+
+        if self.continuous is not None:
+            return self._generate_continuous(rows, budgets, gen)
+
+        ids = [r[0] for r in rows]
+        with_px = [r[1] for r in rows if r[1] is not None]
+        pixels = np.concatenate(with_px, axis=0) if with_px else None
+        masks = [r[2] for r in rows if r[2] is not None]
+        patch_mask = np.concatenate(masks, axis=0) if masks else None
+        spec = self.spec if (gen.greedy and gen.repetition_penalty == 1.0) \
+            else None
+        res = self.engine.generate(ids, images=pixels, patch_mask=patch_mask,
+                                   gen_cfg=gen, spec=spec)
+        tokens = [t[: b] for t, b in zip(res.tokens, budgets)]
         return {
             "text": [
                 self.tokenizer.decode(t.tolist(), skip_special_tokens=True)
-                for t in res.tokens
+                for t in tokens
             ],
-            "tokens": [t.tolist() for t in res.tokens],
-            "logprobs": [l.tolist() for l in (res.logprobs or [])],
+            "tokens": [t.tolist() for t in tokens],
+            "logprobs": [l[: b].tolist()
+                         for l, b in zip(res.logprobs or [], budgets)],
+        }
+
+    def _generate_continuous(self, rows, budgets, gen: GenerateConfig) -> dict:
+        from leopard_tpu.inference.continuous import Request
+
+        reqs = [
+            Request(prompt=ids, max_new_tokens=int(b), images=px,
+                    patch_mask=pm)
+            for (ids, px, pm), b in zip(rows, budgets)
+        ]
+        gen = GenerateConfig(**{
+            **{f.name: getattr(gen, f.name)
+               for f in gen.__dataclass_fields__.values()},
+            "repetition_penalty": 1.0,
+        })
+        completions = self.continuous.run(reqs, gen_cfg=gen)
+        return {
+            "text": [
+                self.tokenizer.decode(c.tokens.tolist(),
+                                      skip_special_tokens=True)
+                for c in completions
+            ],
+            "tokens": [c.tokens.tolist() for c in completions],
+            "logprobs": [],
         }
 
     def serve_forever(self):

@@ -1,0 +1,92 @@
+"""GenerationServer request handling: text-only, multimodal (base64 images
+through the anyres pipeline), per-prompt budgets, and continuous-batching
+mode — all through `handle_generate` (the HTTP layer is a thin JSON shim).
+"""
+
+import base64
+import io
+
+import jax
+import numpy as np
+from PIL import Image
+
+from leopard_tpu import config as cfgs
+from leopard_tpu.config import GenerateConfig
+from leopard_tpu.inference.continuous import ContinuousEngine
+from leopard_tpu.inference.engine import Engine
+from leopard_tpu.inference.server import GenerationServer
+from leopard_tpu.models import vlm
+from tests.test_eval_e2e import DecodingFakeTokenizer, _tiny_cfg
+
+
+def _b64_png(w=90, h=70, color=(10, 20, 30)) -> str:
+    buf = io.BytesIO()
+    Image.new("RGB", (w, h), color).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def _setup(**engine_kw):
+    cfg = _tiny_cfg()  # llama-3 vocab: prompt specials must be in range
+    params = vlm.init_params(cfg, jax.random.PRNGKey(0))
+    engine = Engine(cfg, params, **engine_kw)
+    return cfg, engine, DecodingFakeTokenizer()
+
+
+BASE = {"greedy": True, "eos_token_ids": [999999]}
+
+
+def test_text_only_matches_engine():
+    cfg, engine, tok = _setup()
+    server = GenerationServer(engine, tok)
+    out = server.handle_generate(
+        {"prompts": ["hello there", "shorter"], "max_new_tokens": 4, **BASE}
+    )
+    gen = GenerateConfig(max_new_tokens=4, greedy=True,
+                         eos_token_ids=(999999,))
+    ids = [np.asarray(tok(p, add_special_tokens=True)["input_ids"], np.int32)
+           for p in ("hello there", "shorter")]
+    ref = engine.generate(ids, gen_cfg=gen)
+    assert out["tokens"] == [t.tolist() for t in ref.tokens]
+    assert len(out["text"]) == 2 and all(isinstance(t, str)
+                                         for t in out["text"])
+    assert len(out["logprobs"][0]) == len(out["tokens"][0])
+
+
+def test_multimodal_request_runs_and_is_deterministic():
+    cfg, engine, tok = _setup()
+    server = GenerationServer(engine, tok)
+    payload = {
+        "prompts": ["look at <image> and <image>?", "text only row"],
+        "images": [[_b64_png(), _b64_png(120, 60, (99, 0, 0))], []],
+        "max_new_tokens": 3,
+        **BASE,
+    }
+    out1 = server.handle_generate(payload)
+    out2 = server.handle_generate(payload)
+    assert out1["tokens"] == out2["tokens"]
+    assert all(len(t) == 3 for t in out1["tokens"])
+
+
+def test_per_prompt_budget_list_trims_rows():
+    cfg, engine, tok = _setup()
+    server = GenerationServer(engine, tok)
+    out = server.handle_generate(
+        {"prompts": ["aaa", "bbb"], "max_new_tokens": [2, 5], **BASE}
+    )
+    assert len(out["tokens"][0]) == 2 and len(out["tokens"][1]) == 5
+    assert [len(l) for l in out["logprobs"]] == [2, 5]
+
+
+def test_continuous_mode_matches_plain_greedy():
+    cfg, engine, tok = _setup()
+    plain = GenerationServer(engine, tok)
+    cont = GenerationServer(
+        engine, tok,
+        continuous=ContinuousEngine(engine, slots=2, cache_len=512,
+                                    max_new_cap=8, segment_steps=2),
+    )
+    payload = {"prompts": ["the quick brown", "fox jumps", "over lazy"],
+               "max_new_tokens": [4, 6, 3], **BASE}
+    out_p = plain.handle_generate(payload)
+    out_c = cont.handle_generate(payload)
+    assert out_c["tokens"] == out_p["tokens"]

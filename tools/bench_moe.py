@@ -8,6 +8,11 @@ not just the CPU test mesh. Reports tokens/s and moe_fraction_dropped
 Usage: python tools/bench_moe.py [--seq 4096] [--steps 8] [--capacity]
 (--capacity switches to the capacity-factor path for comparison; expect a
 nonzero drop fraction there under imbalanced routing.)
+
+Shape knobs (--hidden --ff --experts --topk --layers --batch --remat) sweep
+compute density: per-expert GEMM size is ~[T·k/E, H]×[H, F], so fewer/bigger
+experts and a larger F raise arithmetic intensity out of the bandwidth-lean
+regime the r3 run sat in (VERDICT r3 weak #6 / next #6).
 """
 
 import dataclasses
@@ -22,7 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 V5E_BF16_FLOPS = 197e12
 
 
-def main(seq=4096, steps=8, dropless=True):
+def main(seq=4096, steps=8, dropless=True, hidden=1024, ff=2048, experts=8,
+         topk=2, layers=8, batch=1, remat="full"):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/leopard_jax_cache")
@@ -36,15 +42,16 @@ def main(seq=4096, steps=8, dropless=True):
 
     base = cfgs.tiny_vlm()
     text = cfgs.TextConfig(
-        vocab_size=32768, hidden_size=1024, intermediate_size=2048,
-        num_layers=8, num_heads=16, num_kv_heads=8, head_dim=64,
-        num_experts=8, moe_top_k=2, moe_dropless=dropless,
+        vocab_size=32768, hidden_size=hidden, intermediate_size=ff,
+        num_layers=layers, num_heads=max(hidden // 64, 1),
+        num_kv_heads=max(hidden // 128, 1), head_dim=64,
+        num_experts=experts, moe_top_k=topk, moe_dropless=dropless,
         tie_word_embeddings=True, dtype="bfloat16", attn_impl="auto",
     )
     # text-only MoE: minimal stub tower (never run — no images in the batch)
     cfg = dataclasses.replace(base, text=text, image_token_id=32767)
     train_cfg = TrainConfig(
-        seq_len=seq, global_batch_size=1, remat="full",
+        seq_len=seq, global_batch_size=batch, remat=remat,
         optimizer=OptimizerConfig(lr=1e-5, warmup_steps=10, decay_steps=1000),
     )
     params = vlm.init_params(cfg, jax.random.PRNGKey(0))
@@ -60,15 +67,15 @@ def main(seq=4096, steps=8, dropless=True):
     del params
     step = jax.jit(make_train_step(cfg, train_cfg), donate_argnums=(0,))
 
-    ids = np.random.RandomState(0).randint(1, 30000, (1, seq)).astype(np.int32)
-    batch = {
+    ids = np.random.RandomState(0).randint(1, 30000, (batch, seq)).astype(np.int32)
+    data = {
         "tokens": jnp.asarray(ids),
-        "loss_weights": jnp.ones((1, seq), jnp.float32),
-        "segment_ids": jnp.ones((1, seq), jnp.int32),
+        "loss_weights": jnp.ones((batch, seq), jnp.float32),
+        "segment_ids": jnp.ones((batch, seq), jnp.int32),
     }
 
     t0 = time.perf_counter()
-    state, metrics = step(state, batch)  # compile
+    state, metrics = step(state, data)  # compile
     loss = float(metrics["loss"])
     dropped = float(metrics["moe_fraction_dropped"])
     print(f"compiled in {time.perf_counter() - t0:.0f}s "
@@ -76,16 +83,18 @@ def main(seq=4096, steps=8, dropless=True):
     assert np.isfinite(loss)
     t0 = time.perf_counter()
     for _ in range(steps):
-        state, metrics = step(state, batch)
+        state, metrics = step(state, data)
     dropped = float(metrics["moe_fraction_dropped"])  # also syncs
     dt = (time.perf_counter() - t0) / steps
-    mfu = 6 * n_active * seq / dt / V5E_BF16_FLOPS
+    toks = batch * seq
+    mfu = 6 * n_active * toks / dt / V5E_BF16_FLOPS
     mode = "dropless(ragged_dot)" if dropless else "capacity"
     print(
-        f"MoE train step [{mode}]: {seq / dt:.0f} tokens/s/chip "
+        f"MoE train step [{mode}]: {toks / dt:.0f} tokens/s/chip "
         f"({dt * 1e3:.0f} ms/step, {n_params / 1e9:.3f}B total / "
-        f"{n_active / 1e9:.3f}B active, 8 experts top-2, seq {seq}, "
-        f"full remat) MFU(6ND_active)={mfu * 100:.1f}% "
+        f"{n_active / 1e9:.3f}B active, {experts} experts top-{topk}, "
+        f"H={hidden} F={ff} L={layers}, batch {batch}, seq {seq}, "
+        f"{remat} remat) MFU(6ND_active)={mfu * 100:.1f}% "
         f"fraction_dropped={dropped:.4f}"
     )
     if dropless:
@@ -99,5 +108,15 @@ if __name__ == "__main__":
     p.add_argument("--seq", type=int, default=4096)
     p.add_argument("--steps", type=int, default=8)
     p.add_argument("--capacity", action="store_true")
+    p.add_argument("--hidden", type=int, default=1024)
+    p.add_argument("--ff", type=int, default=2048)
+    p.add_argument("--experts", type=int, default=8)
+    p.add_argument("--topk", type=int, default=2)
+    p.add_argument("--layers", type=int, default=8)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--remat", default="full",
+                   choices=("none", "selective", "attn", "full"))
     a = p.parse_args()
-    main(a.seq, a.steps, dropless=not a.capacity)
+    main(a.seq, a.steps, dropless=not a.capacity, hidden=a.hidden, ff=a.ff,
+         experts=a.experts, topk=a.topk, layers=a.layers, batch=a.batch,
+         remat=a.remat)
