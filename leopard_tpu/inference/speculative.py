@@ -5,7 +5,16 @@ reads all weights to emit ONE token per row). Speculative decoding amortizes
 that read: draft k candidate tokens, run ONE forward over k+1 positions
 (weights are read once, the MXU does k+1 columns of work for the same HBM
 traffic), and keep the longest prefix the model itself would have produced —
-output is TOKEN-IDENTICAL to plain greedy decode by construction.
+output is TOKEN-IDENTICAL to plain greedy decode by construction in exact
+arithmetic. One bf16 caveat (shared by every speculative implementation,
+e.g. vLLM's): the verify forward runs at width k+1 while plain decode runs
+at width 1, and the two round differently on the MXU (~0.06 logit delta
+measured on the 1.5B profile, tools/diag_spec_numerics.py) — so greedy
+picks can flip where the top-2 logit margin is below that noise floor.
+On real checkpoints confident tokens carry margins orders of magnitude
+above it; on random init (margins ~1e-4) ties flip freely, which is why
+the on-chip bench asserts margin-aware agreement while the CPU tests
+(f32-deterministic across widths) assert exact identity.
 
 Drafts come from PROMPT LOOKUP (n-gram continuation): find the most recent
 earlier occurrence of the last `ngram` tokens in (prompt + generated so far)
