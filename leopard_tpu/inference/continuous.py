@@ -18,8 +18,23 @@ TPU design notes: every program here has static shapes (slot count, cache
 length, segment length, prompt buckets), so the whole serving loop reuses a
 handful of compiled programs. The per-row cache insert moves one row's KV
 (L·S·2H·D bytes ≈ 0.2 ms at the 8B/int8 eval shape) — negligible next to a
-segment of decode steps. Refill prefills run at batch 1 through the same
-bucketed `_prefill` programs the plain engine uses (flash tier, fresh cache).
+segment of decode steps.
+
+Two latency-hiding mechanisms matter when the host is far from the device
+(this box reaches its TPU through a TCP relay with ~30-100 ms round trips;
+the same structure helps on any host):
+  - PIPELINED SEGMENTS: each boundary snapshots (done, n_gen, gen_buf,
+    gen_mask) into fresh device buffers, dispatches the next decode segment
+    immediately, and only then fetches the snapshot — the host round-trip
+    overlaps the segment's device execution. Harvest/refill decisions run
+    one segment late (a finished row idles ≤ segment_steps masked steps —
+    bounded waste), but no device idle time waits on the host. Measured on
+    the r4 serving bench this took continuous batching from 0.88× to >1.5×
+    static throughput.
+  - BATCHED REFILLS: image-free queued requests refill in blocks — ONE
+    bucketed batch prefill (b ∈ {1,2,4,8,…}) instead of b=1 prefills per
+    slot, then per-row cache inserts. Requests with images keep the
+    single-row path (their tile counts vary).
 
 Constraint: repetition_penalty must be 1.0 in continuous mode — the penalty
 needs every row's full token history under one static shape, which conflicts
@@ -72,14 +87,31 @@ def _tree_insert_row(big: KVCache, small: KVCache, row) -> KVCache:
     return KVCache(kv=kv, seg=seg, index=index, kv_scale=kv_scale)
 
 
+def _cache_row_dyn(c: KVCache, j) -> KVCache:
+    """Traced-index single-row view of a batched cache (batch axis differs
+    per field: kv/kv_scale carry layers first)."""
+    dsl = jax.lax.dynamic_slice_in_dim
+    return KVCache(
+        kv=dsl(c.kv, j, 1, axis=1),
+        seg=dsl(c.seg, j, 1, axis=0),
+        index=dsl(c.index, j, 1, axis=0),
+        kv_scale=(None if c.kv_scale is None
+                  else dsl(c.kv_scale, j, 1, axis=1)),
+    )
+
+
 @partial(jax.jit, donate_argnums=(0,))
-def _refill_slot(state: dict, row_cache: KVCache, first_logits, row,
-                 budget) -> dict:
-    """Install a freshly prefilled request into slot `row`: KV row, first
-    logits, cleared done/counter/output buffers, new token budget."""
+def _refill_from_block(state: dict, block_cache: KVCache, block_logits,
+                       j, row, budget) -> dict:
+    """Install row `j` of a staged prefill block into slot `row`: KV row,
+    first logits, cleared done/counter/output buffers, new token budget.
+    The block is NOT donated — its other rows refill later slots."""
     onrow = jnp.arange(state["done"].shape[0]) == row
+    first_logits = jax.lax.dynamic_slice_in_dim(block_logits, j, 1, axis=0)
     return dict(
-        cache=_tree_insert_row(state["cache"], row_cache, row),
+        cache=_tree_insert_row(
+            state["cache"], _cache_row_dyn(block_cache, j), row
+        ),
         logits=jnp.where(onrow[:, None], first_logits, state["logits"]),
         # a zero-budget request is born done — otherwise _decode_segment
         # records one token before the budget check fires (ADVICE r3)
@@ -92,6 +124,26 @@ def _refill_slot(state: dict, row_cache: KVCache, first_logits, row,
         ),
         key=state["key"],
     )
+
+
+@jax.jit
+def _snapshot(state: dict):
+    """Fresh device buffers of the host-visible decode state, so the host
+    can fetch them while the next (donating) decode segment overwrites the
+    state in place. The no-op arithmetic forces real copies — a jit that
+    returns an input unchanged may pass the buffer through, and that buffer
+    is about to be donated."""
+    return (state["done"] | False, state["n_gen"] + 0,
+            state["gen_buf"] + 0, state["gen_mask"] | False)
+
+
+@jax.jit
+def _snapshot_row(state: dict, row):
+    """One row's output buffers, captured between a dispatched segment and
+    the refill that will clear them (deterministic-budget refill path)."""
+    dsl = jax.lax.dynamic_slice_in_dim
+    return (dsl(state["gen_buf"], row, 1, axis=0) + 0,
+            dsl(state["gen_mask"], row, 1, axis=0) | False)
 
 
 @partial(jax.jit, static_argnames=("cfg", "gen_cfg", "steps"),
@@ -168,9 +220,43 @@ class ContinuousEngine:
         )
         return logits, cache
 
+    def _prefill_block(self, reqs: Sequence[Request], nb: int):
+        """ONE bucketed batch prefill for nb image-free requests (the list is
+        padded to nb by repeating its last entry — see _refill_rows)."""
+        eng = self.engine
+        s = eng._bucket(max(len(r.prompt) for r in reqs), eng.seq_buckets)
+        tokens = np.zeros((nb, s), np.int32)
+        seg = np.zeros((nb, s), np.int32)
+        for i in range(nb):
+            p = reqs[min(i, len(reqs) - 1)].prompt
+            tokens[i, : len(p)] = p
+            seg[i, : len(p)] = 1
+        cache = KVCache.create(eng.cfg.text, nb, self.cache_len,
+                               quantized=eng.quantize_kv)
+        return _prefill(
+            eng.params, eng.cfg, jnp.asarray(tokens), jnp.asarray(seg),
+            cache, None, fresh=True,
+        )
+
     def run(self, requests: Sequence[Request],
-            gen_cfg: Optional[GenerateConfig] = None) -> List[Completion]:
-        """Serve all requests; returns completions in request order."""
+            gen_cfg: Optional[GenerateConfig] = None,
+            longest_first: bool = False) -> List[Completion]:
+        """Serve all requests; returns completions in request order.
+
+        The loop is PIPELINED: each boundary snapshots the host-visible
+        state, dispatches the next decode segment, and only then blocks on
+        the snapshot fetch — so the host round-trip rides under the
+        segment's device time. Rows that finish by BUDGET exhaustion are
+        host-predictable: they refill at the very boundary their budget
+        runs out (their output row is captured into fresh buffers between
+        the segment and the refill — zero idle steps). Rows that finish
+        EARLY by eos are only visible in the fetched snapshot, so they
+        refill one segment late (≤ segment_steps masked idle steps).
+
+        `longest_first=True` admits requests by descending token budget —
+        the classic makespan heuristic for offline/batch serving (all
+        requests present up front). Completions still return in request
+        order. Leave False for online FCFS fairness."""
         eng = self.engine
         gen_cfg = gen_cfg or eng.gen_cfg
         assert gen_cfg.repetition_penalty == 1.0, (
@@ -194,7 +280,6 @@ class ContinuousEngine:
         b = self.slots
         results: List[Optional[Completion]] = [None] * len(requests)
         slot_req = [-1] * b          # request index occupying each slot
-        next_req = 0
 
         state = dict(
             cache=KVCache.create(eng.cfg.text, b, self.cache_len,
@@ -221,36 +306,141 @@ class ContinuousEngine:
                 tokens=toks, prompt_length=len(requests[ri].prompt)
             )
 
+        def budget_of(ri: int) -> int:
+            return min(requests[ri].max_new_tokens, self.max_new_cap)
+
+        def has_img(r: Request) -> bool:
+            return r.images is not None and r.images.shape[0] > 0
+
+        # PREFILL-AHEAD STAGING POOL. Refilling on demand degenerates to
+        # b=1/2 prefills in steady state (slots free one at a time), ~3× the
+        # device time of batched prefills. Instead the queue is prefilled
+        # AHEAD in bucketed blocks while slots are still decoding; a staged
+        # entry is (request idx, block logits, block cache, row-in-block) —
+        # the block stays alive until all its rows are consumed, so a refill
+        # is one cheap row insert. FIFO order == request order.
+        staged: List[tuple] = []
+        order = (sorted(range(len(requests)), key=lambda i: -budget_of(i))
+                 if longest_first else list(range(len(requests))))
+        next_stage = 0                # next position in `order` to prefill
+        self.stats = dict(boundaries=0, segments=0, blocks=0, block_rows=0,
+                          det_refills=0, late_refills=0,
+                          fetch_s=0.0, stage_s=0.0, refill_s=0.0)
+
+        def stage_more():
+            nonlocal next_stage
+            # hysteresis: restock only once the pool has drained to half —
+            # steady-state consumption is 1-2 rows/boundary, and restocking
+            # every boundary degenerates blocks to b=1/2 prefills (measured
+            # ~1.7× the per-row device cost of b=8 blocks)
+            cap = b - len(staged)
+            if cap <= 0 or len(staged) > b // 2 or next_stage >= len(order):
+                return
+            if has_img(requests[order[next_stage]]):
+                ri = order[next_stage]
+                logits1, cache1 = self._prefill_one(requests[ri], gen_cfg)
+                staged.append((ri, logits1, cache1, 0))
+                next_stage += 1
+                return
+            run = []
+            while (len(run) < cap and next_stage < len(order)
+                   and not has_img(requests[order[next_stage]])):
+                run.append(order[next_stage])
+                next_stage += 1
+            nb = 1
+            while nb < len(run):
+                nb *= 2
+            logits_nb, cache_nb = self._prefill_block(
+                [requests[i] for i in run], nb
+            )
+            self.stats["blocks"] += 1
+            self.stats["block_rows"] += len(run)
+            for j, i in enumerate(run):
+                staged.append((i, logits_nb, cache_nb, j))
+
+        def refill(row: int):
+            nonlocal state
+            if not staged:
+                slot_req[row] = -1
+                rem[row] = 0
+                return
+            i, logits_blk, cache_blk, j = staged.pop(0)
+            state = _refill_from_block(
+                state, cache_blk, logits_blk, jnp.int32(j),
+                jnp.int32(row), jnp.int32(budget_of(i)),
+            )
+            slot_req[row] = i
+            rem[row] = budget_of(i)
+
+        import time as _time
+
+        rem = [0] * b                 # remaining budget per slot (exact
+        #                               unless the row eos-es early)
+        pending: List[tuple] = []     # (req idx, row-snapshot) to fetch at
+        #                               the next boundary
+
         while True:
-            # ONE host transfer per segment boundary: done flags + output
-            # buffers together. Each separate device_get is a full relay
-            # round-trip (~50-200 ms) — fetching per finished slot was
-            # measured to cost more than the decode segments themselves.
-            done_host, buf_host, mask_host = jax.device_get(
-                (state["done"], state["gen_buf"], state["gen_mask"])
-            )
-            free_rows = np.nonzero(np.asarray(done_host))[0]
-            for row in free_rows:
-                harvest(int(row), buf_host, mask_host)
-                slot_req[int(row)] = -1
-            # refill free slots from the queue
-            for row in free_rows:
-                if next_req >= len(requests):
-                    break
-                req = requests[next_req]
-                logits1, row_cache = self._prefill_one(req, gen_cfg)
-                budget = min(req.max_new_tokens, self.max_new_cap)
-                state = _refill_slot(
-                    state, row_cache, logits1, jnp.int32(int(row)),
-                    jnp.int32(budget),
+            self.stats["boundaries"] += 1
+            snap = _snapshot(state)
+            # dispatch the next segment BEFORE blocking on any fetch.
+            # Occupancy (slot_req) is host-exact, so an all-free pool never
+            # burns a segment.
+            if any(ri >= 0 for ri in slot_req):
+                self.stats["segments"] += 1
+                state = _decode_segment(
+                    state, eng.params, eng.cfg, gen_cfg, self.segment_steps
                 )
-                slot_req[int(row)] = next_req
-                next_req += 1
-            if all(ri < 0 for ri in slot_req) and next_req >= len(requests):
-                break
-            state = _decode_segment(
-                state, eng.params, eng.cfg, gen_cfg, self.segment_steps
+                for row in range(b):
+                    if slot_req[row] >= 0:
+                        rem[row] -= self.segment_steps
+            # keep the pool fed: the staged prefill executes on-device after
+            # the segment above, while the host blocks on the fetch below
+            t0 = _time.perf_counter()
+            stage_more()
+            t1 = _time.perf_counter()
+            # ONE fetch: the pre-segment snapshot + last boundary's pending
+            # row-captures — everything here was computable before the
+            # segment dispatched above, so the round-trip hides under it.
+            (done_h, _, buf_h, mask_h), row_snaps = jax.device_get(
+                (snap, [s for _, s in pending])
             )
+            t2 = _time.perf_counter()
+            for (ri, _), (buf1, mask1) in zip(pending, row_snaps):
+                toks = buf1[0][mask1[0]]
+                stop = np.isin(toks, np.asarray(gen_cfg.eos_token_ids))
+                if stop.any():
+                    toks = toks[: int(np.argmax(stop))]
+                results[ri] = Completion(
+                    tokens=toks, prompt_length=len(requests[ri].prompt)
+                )
+            pending = []
+            # LATE path: rows that finished early (eos) — only visible in
+            # the fetched snapshot; they idled one segment.
+            for row in [int(r) for r in np.nonzero(np.asarray(done_h))[0]]:
+                if slot_req[row] >= 0:
+                    harvest(row, buf_h, mask_h)
+                    slot_req[row] = -1
+                    self.stats["late_refills"] += 1
+                if slot_req[row] < 0 and staged:
+                    refill(row)
+            # DETERMINISTIC path: rows whose budget exhausts during the
+            # segment dispatched above — refill NOW (applies right after
+            # that segment on device; zero idle steps). Their output rows
+            # are captured post-segment, pre-refill, fetched next boundary.
+            for row in range(b):
+                if slot_req[row] >= 0 and rem[row] <= 0:
+                    self.stats["det_refills"] += 1
+                    pending.append(
+                        (slot_req[row], _snapshot_row(state, jnp.int32(row)))
+                    )
+                    refill(row)
+            t3 = _time.perf_counter()
+            self.stats["stage_s"] += t1 - t0
+            self.stats["fetch_s"] += t2 - t1
+            self.stats["refill_s"] += t3 - t2
+            if (all(ri < 0 for ri in slot_req) and not staged and not pending
+                    and next_stage >= len(order)):
+                break
 
         assert all(r is not None for r in results)
         return results

@@ -98,13 +98,23 @@ def main():
         out = cont.run(reqs, gen_cfg=gen)
         return sum(len(c.tokens) for c in out)
 
-    for name, fn in (("static", run_static), ("continuous", run_continuous)):
+    def run_continuous_ljf():
+        # longest-first admission: the offline/batch-serving makespan
+        # heuristic (every request is present up front, so FCFS fairness
+        # costs nothing to trade away)
+        out = cont.run(reqs, gen_cfg=gen, longest_first=True)
+        return sum(len(c.tokens) for c in out)
+
+    for name, fn in (("static", run_static), ("continuous", run_continuous),
+                     ("cont (ljf)", run_continuous_ljf)):
         fn()  # compile
         t0 = time.perf_counter()
         n = fn()
         dt = time.perf_counter() - t0
         assert n == total_tokens, (name, n, total_tokens)
         print(f"  {name:11s}: {dt:6.2f} s  {n / dt:8.1f} gen tok/s", flush=True)
+        if name.startswith("cont"):
+            print(f"    stats: {cont.stats}", flush=True)
 
 
 if __name__ == "__main__":
