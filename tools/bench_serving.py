@@ -28,6 +28,7 @@ def main():
                     help="weight-only int8 + int8 KV cache")
     ap.add_argument("--segment", type=int, default=16)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
     import jax
@@ -105,14 +106,22 @@ def main():
         out = cont.run(reqs, gen_cfg=gen, longest_first=True)
         return sum(len(c.tokens) for c in out)
 
+    # best-of-N: the TPU relay's throughput drifts ±30% minute-to-minute
+    # (identical schedules — same segment/block counts — time 1.57-2.10 s
+    # across runs), so a single timing is unreliable. Best-of filters the
+    # relay's bad minutes; every strategy gets the same treatment.
     for name, fn in (("static", run_static), ("continuous", run_continuous),
                      ("cont (ljf)", run_continuous_ljf)):
         fn()  # compile
-        t0 = time.perf_counter()
-        n = fn()
-        dt = time.perf_counter() - t0
-        assert n == total_tokens, (name, n, total_tokens)
-        print(f"  {name:11s}: {dt:6.2f} s  {n / dt:8.1f} gen tok/s", flush=True)
+        best = float("inf")
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            n = fn()
+            dt = time.perf_counter() - t0
+            assert n == total_tokens, (name, n, total_tokens)
+            best = min(best, dt)
+        print(f"  {name:11s}: {best:6.2f} s  {n / best:8.1f} gen tok/s "
+              f"(best of {args.reps})", flush=True)
         if name.startswith("cont"):
             print(f"    stats: {cont.stats}", flush=True)
 
