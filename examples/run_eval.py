@@ -41,7 +41,8 @@ def main():
                         "HBM bytes each decode step reads")
     p.add_argument("--spec", type=int, default=0, metavar="DRAFT",
                    help="prompt-lookup speculative decoding with this draft "
-                        "length (0 = off). Token-identical to plain greedy; "
+                        "length (0 = off). Token-identical to plain greedy "
+                        "(up to bf16 argmax ties — inference/speculative.py); "
                         "fastest on quote-heavy DocVQA-style answers")
     p.add_argument("--spec-ngram", type=int, default=2)
     args = p.parse_args()
