@@ -33,6 +33,10 @@ def main():
     p.add_argument("--cache-len", type=int, default=2048)
     p.add_argument("--max-new-cap", type=int, default=512)
     args = p.parse_args()
+    if args.spec and args.continuous:
+        p.error("--spec applies only to the plain engine path; the "
+                "continuous slot pool decodes one token per row per step. "
+                "Drop one of --spec / --continuous.")
 
     from leopard_tpu import config as cfgs
     from leopard_tpu.convert.hf import (

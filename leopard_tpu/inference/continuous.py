@@ -336,27 +336,35 @@ class ContinuousEngine:
             cap = b - len(staged)
             if cap <= 0 or len(staged) > b // 2 or next_stage >= len(order):
                 return
-            if has_img(requests[order[next_stage]]):
-                ri = order[next_stage]
-                logits1, cache1 = self._prefill_one(requests[ri], gen_cfg)
-                staged.append((ri, logits1, cache1, 0))
-                next_stage += 1
-                return
-            run = []
-            while (len(run) < cap and next_stage < len(order)
-                   and not has_img(requests[order[next_stage]])):
-                run.append(order[next_stage])
-                next_stage += 1
-            nb = 1
-            while nb < len(run):
-                nb *= 2
-            logits_nb, cache_nb = self._prefill_block(
-                [requests[i] for i in run], nb
-            )
-            self.stats["blocks"] += 1
-            self.stats["block_rows"] += len(run)
-            for j, i in enumerate(run):
-                staged.append((i, logits_nb, cache_nb, j))
+            # fill the whole pool this boundary: image requests stage one at
+            # a time (variable tile counts), but the loop continues past an
+            # image head so trailing text requests still batch-stage and an
+            # image-heavy queue refills more than one slot per boundary
+            # (ADVICE r4)
+            while cap > 0 and next_stage < len(order):
+                if has_img(requests[order[next_stage]]):
+                    ri = order[next_stage]
+                    logits1, cache1 = self._prefill_one(requests[ri], gen_cfg)
+                    staged.append((ri, logits1, cache1, 0))
+                    next_stage += 1
+                    cap -= 1
+                    continue
+                run = []
+                while (len(run) < cap and next_stage < len(order)
+                       and not has_img(requests[order[next_stage]])):
+                    run.append(order[next_stage])
+                    next_stage += 1
+                nb = 1
+                while nb < len(run):
+                    nb *= 2
+                logits_nb, cache_nb = self._prefill_block(
+                    [requests[i] for i in run], nb
+                )
+                self.stats["blocks"] += 1
+                self.stats["block_rows"] += len(run)
+                for j, i in enumerate(run):
+                    staged.append((i, logits_nb, cache_nb, j))
+                cap -= len(run)
 
         def refill(row: int):
             nonlocal state
@@ -371,6 +379,8 @@ class ContinuousEngine:
             )
             slot_req[row] = i
             rem[row] = budget_of(i)
+            if budget_of(i) > 0:
+                install_boundary[i] = self.stats["boundaries"]
 
         import time as _time
 
@@ -378,6 +388,14 @@ class ContinuousEngine:
         #                               unless the row eos-es early)
         pending: List[tuple] = []     # (req idx, row-snapshot) to fetch at
         #                               the next boundary
+        # Host-visible TTFT per request: a request installed at boundary k
+        # decodes its first token in the segment dispatched at k+1, which the
+        # host first observes in the (blocking) fetch at boundary k+2 — the
+        # moment a streaming client could receive it. run() fills self.ttft
+        # {request idx: seconds since run() start}.
+        t_run0 = _time.perf_counter()
+        self.ttft = {}
+        install_boundary = {}
 
         while True:
             self.stats["boundaries"] += 1
@@ -405,6 +423,10 @@ class ContinuousEngine:
                 (snap, [s for _, s in pending])
             )
             t2 = _time.perf_counter()
+            b_now = self.stats["boundaries"]
+            for ri, k in install_boundary.items():
+                if ri not in self.ttft and k <= b_now - 2:
+                    self.ttft[ri] = t2 - t_run0
             for (ri, _), (buf1, mask1) in zip(pending, row_snaps):
                 toks = buf1[0][mask1[0]]
                 stop = np.isin(toks, np.asarray(gen_cfg.eos_token_ids))

@@ -112,6 +112,9 @@ class GenerationServer:
         max_new = payload.get("max_new_tokens", 128)
         budgets = (list(max_new) if isinstance(max_new, (list, tuple))
                    else [int(max_new)] * len(prompts))
+        if len(budgets) != len(prompts):
+            raise ValueError("max_new_tokens list must have one entry per "
+                             "prompt")
         gen = GenerateConfig(
             max_new_tokens=max(int(b) for b in budgets),
             temperature=float(payload.get("temperature", 1.0)),
@@ -156,11 +159,10 @@ class GenerationServer:
                     patch_mask=pm)
             for (ids, px, pm), b in zip(rows, budgets)
         ]
-        gen = GenerateConfig(**{
-            **{f.name: getattr(gen, f.name)
-               for f in gen.__dataclass_fields__.values()},
-            "repetition_penalty": 1.0,
-        })
+        if gen.repetition_penalty != 1.0:
+            raise ValueError("continuous mode does not support "
+                             "repetition_penalty; send 1.0 or use the plain "
+                             "server mode")
         completions = self.continuous.run(reqs, gen_cfg=gen)
         return {
             "text": [

@@ -76,6 +76,34 @@ def test_continuous_with_images_matches_serial():
         np.testing.assert_array_equal(g.tokens, w, err_msg=f"request {i}")
 
 
+def test_image_head_does_not_block_text_staging():
+    # ADVICE r4: stage_more used to return after staging one image request,
+    # so text requests queued behind an image head refilled one-per-boundary
+    # at b=1. Now the loop continues past image heads: an image-first queue
+    # must still batch-stage the trailing text run (and stay token-identical).
+    cfg, params = _tiny()
+    eng = Engine(cfg, params, seq_buckets=(16, 32), tile_buckets=(1,))
+    gen = GenerateConfig(greedy=True, eos_token_ids=(0,))
+    rng = np.random.RandomState(11)
+    reqs = []
+    for i in range(6):
+        prompt = rng.randint(1, 100, 10).astype(np.int32)
+        images = None
+        if i == 0:  # single image head, 5 text requests behind it
+            prompt[1:5] = cfg.image_token_id
+            images = rng.randn(1, 3, 56, 56).astype(np.float32)
+        reqs.append(Request(prompt=prompt, max_new_tokens=4, images=images))
+    cont = ContinuousEngine(eng, slots=6, cache_len=512, max_new_cap=16,
+                            segment_steps=2)
+    got = cont.run(reqs, gen_cfg=gen)
+    want = _serial_oracle(eng, reqs, gen)
+    for i, (g, w) in enumerate(zip(got, want)):
+        np.testing.assert_array_equal(g.tokens, w, err_msg=f"request {i}")
+    # the 5 text rows behind the image must have gone out in batched block
+    # prefills at the very first boundary, not one-at-a-time refills
+    assert cont.stats["blocks"] == 1 and cont.stats["block_rows"] == 5
+
+
 def test_continuous_int8_kv_matches_serial():
     cfg, params = _tiny()
     eng = Engine(cfg, params, seq_buckets=(16, 32), tile_buckets=(1,),
@@ -88,6 +116,20 @@ def test_continuous_int8_kv_matches_serial():
     want = _serial_oracle(eng, reqs, gen)
     for i, (g, w) in enumerate(zip(got, want)):
         np.testing.assert_array_equal(g.tokens, w, err_msg=f"request {i}")
+
+
+def test_ttft_recorded_for_all_requests():
+    # VERDICT r4 item 8: run() fills self.ttft with a host-visible
+    # first-token time for every (positive-budget) request
+    cfg, params = _tiny()
+    eng = Engine(cfg, params, seq_buckets=(16, 32), tile_buckets=(1,))
+    gen = GenerateConfig(greedy=True, eos_token_ids=(0,))
+    reqs = _requests(cfg, n=6, seed=9)
+    cont = ContinuousEngine(eng, slots=2, cache_len=512, max_new_cap=16,
+                            segment_steps=2)
+    cont.run(reqs, gen_cfg=gen)
+    assert sorted(cont.ttft) == list(range(len(reqs)))
+    assert all(t > 0 for t in cont.ttft.values())
 
 
 def test_continuous_fewer_requests_than_slots():

@@ -77,6 +77,37 @@ def test_per_prompt_budget_list_trims_rows():
     assert [len(l) for l in out["logprobs"]] == [2, 5]
 
 
+def test_budget_list_length_mismatch_rejected():
+    # ADVICE r4: a mismatched per-prompt budget list used to silently drop
+    # rows via zip — it must be a client error instead
+    cfg, engine, tok = _setup()
+    server = GenerationServer(engine, tok)
+    import pytest
+
+    with pytest.raises(ValueError, match="one entry per prompt"):
+        server.handle_generate(
+            {"prompts": ["aaa", "bbb"], "max_new_tokens": [2], **BASE}
+        )
+
+
+def test_continuous_rejects_repetition_penalty_payload():
+    # ADVICE r4: continuous mode used to silently rewrite the client's
+    # repetition_penalty to 1.0 — it must reject instead
+    cfg, engine, tok = _setup()
+    cont = GenerationServer(
+        engine, tok,
+        continuous=ContinuousEngine(engine, slots=2, cache_len=512,
+                                    max_new_cap=8, segment_steps=2),
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="repetition_penalty"):
+        cont.handle_generate(
+            {"prompts": ["aaa"], "max_new_tokens": 2,
+             "repetition_penalty": 1.3, **BASE}
+        )
+
+
 def test_continuous_mode_matches_plain_greedy():
     cfg, engine, tok = _setup()
     plain = GenerationServer(engine, tok)

@@ -1,12 +1,24 @@
-"""Serving throughput: static batching vs continuous batching (per-slot
-refill) on a heterogeneous workload — requests with different response
-budgets, like a real serving queue. Static batching (the reference's HF
-`model.generate` shape, llava_multiimg_siglip_anyres.py:448-452) runs every
-batch to its LONGEST row's budget; continuous batching refills finished
-slots from the queue, so short answers never pay for long ones.
+"""Serving throughput + latency: static batching vs continuous batching
+(per-slot refill) on a heterogeneous workload — requests with different
+response budgets, like a real serving queue. Static batching (the
+reference's HF `model.generate` shape,
+llava_multiimg_siglip_anyres.py:448-452) runs every batch to its LONGEST
+row's budget; continuous batching refills finished slots from the queue, so
+short answers never pay for long ones.
+
+Reports throughput AND per-request TTFT p50/p99 (VERDICT r4 item 8):
+  - continuous: host-visible first-token time (the fetch that first
+    observes the request's token — what a streaming client would get);
+  - static: a row's tokens only exist when its whole group's generate()
+    returns (the reference's eval loop delivers answers at batch end), so
+    TTFT_row = its group's completion time, including queue wait.
+
+`--image-frac F` makes ⌈F·requests⌉ requests multimodal (`--tiles` anyres
+tiles each, spread round-robin through the queue) — image requests prefill
+at b=1 through the staging pool while text requests block-prefill.
 
 Usage: python tools/bench_serving.py [--requests 32] [--slots 8]
-       [--prompt 512] [--profile 1.5b] [--int8]
+       [--prompt 512] [--int8] [--image-frac 0.25 --tiles 4]
 """
 
 import argparse
@@ -29,6 +41,10 @@ def main():
     ap.add_argument("--segment", type=int, default=16)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--image-frac", type=float, default=0.0,
+                    help="fraction of requests carrying images")
+    ap.add_argument("--tiles", type=int, default=4,
+                    help="anyres tiles per image request")
     args = ap.parse_args()
 
     import jax
@@ -44,30 +60,59 @@ def main():
 
     cfg = _flagship_single_chip_cfg()
     params = vlm.init_params(cfg, jax.random.PRNGKey(0))
-    engine = Engine(
-        cfg, params, seq_buckets=(args.prompt,), tile_buckets=(0,),
-        quantize="int8" if args.int8 else None, quantize_kv=args.int8,
-    )
+    n_img = int(np.ceil(args.image_frac * args.requests))
 
     # workload: budgets spread 16..256 (mean ~90) — the shape of real eval
     # answers under a generous cap; no eos (random weights), so each row
     # decodes exactly its budget. The token-count accounting is identical
-    # for both strategies by construction.
+    # for both strategies by construction. With --image-frac, every
+    # `stride`-th request carries `--tiles` anyres tiles whose image-token
+    # block replaces the head of the prompt.
     rng = np.random.RandomState(args.seed)
     budgets = np.clip(
         (16 * np.exp(rng.randn(args.requests) * 0.9 + 1.0)).astype(int),
         16, 256,
     )
-    prompts = [
-        rng.randint(1, 1000, args.prompt - int(rng.randint(0, 32)))
-        .astype(np.int32)
-        for _ in range(args.requests)
-    ]
-    reqs = [Request(prompt=p, max_new_tokens=int(m))
-            for p, m in zip(prompts, budgets)]
+    tok_per_tile = cfg.anyres.tokens_per_tile
+    n_img_tok = args.tiles * tok_per_tile
+    if n_img:
+        assert n_img_tok + 16 <= args.prompt, (
+            f"{args.tiles} tiles need {n_img_tok} image tokens; raise "
+            f"--prompt or lower --tiles"
+        )
+    img_every = max(1, args.requests // max(n_img, 1))
+    reqs = []
+    for i in range(args.requests):
+        p = rng.randint(1, 1000,
+                        args.prompt - int(rng.randint(0, 32))).astype(np.int32)
+        images = None
+        if n_img and i % img_every == 0 and sum(
+            r.images is not None for r in reqs
+        ) < n_img:
+            p[8 : 8 + n_img_tok] = cfg.image_token_id
+            images = rng.randn(args.tiles, 3, cfg.anyres.tile_size,
+                               cfg.anyres.tile_size).astype(np.float32)
+        reqs.append(Request(prompt=p, max_new_tokens=int(budgets[i]),
+                            images=images))
     cache_len = ((args.prompt + 256) + 511) // 512 * 512
     total_tokens = int(budgets.sum())
-    print(f"{args.requests} requests, prompt bucket {args.prompt}, budgets "
+    # tile buckets: b=1 staging-pool prefills use `tiles`; static groups may
+    # hold several image requests, so add the largest per-group tile count
+    if n_img:
+        group_tiles = max(
+            sum(args.tiles for r in reqs[i : i + args.slots]
+                if r.images is not None)
+            for i in range(0, len(reqs), args.slots)
+        )
+        tile_buckets = tuple(sorted({args.tiles, group_tiles}))
+    else:
+        tile_buckets = (0,)
+    engine = Engine(
+        cfg, params, seq_buckets=(args.prompt,), tile_buckets=tile_buckets,
+        quantize="int8" if args.int8 else None, quantize_kv=args.int8,
+    )
+    print(f"{args.requests} requests ({sum(r.images is not None for r in reqs)}"
+          f" with {args.tiles} tiles), prompt bucket {args.prompt}, budgets "
           f"16..256 (sum {total_tokens}), slots {args.slots}, "
           f"{'int8' if args.int8 else 'bf16'}")
 
@@ -76,51 +121,59 @@ def main():
     # ---- static batching: batches of `slots`, each to its max budget ----
     def run_static():
         done_tokens = 0
+        ttfts = []
+        t0 = time.perf_counter()
         for i in range(0, len(reqs), args.slots):
             group = reqs[i : i + args.slots]
             g = GenerateConfig(
                 max_new_tokens=max(r.max_new_tokens for r in group),
                 greedy=True, eos_token_ids=(999999,),
             )
-            res = engine.generate([r.prompt for r in group], gen_cfg=g,
-                                  max_cache=cache_len)
+            with_px = [r.images for r in group if r.images is not None]
+            px = np.concatenate(with_px, axis=0) if with_px else None
+            res = engine.generate([r.prompt for r in group], images=px,
+                                  gen_cfg=g, max_cache=cache_len)
             # host-side per-row budget trim (static batching can't stop rows)
             done_tokens += sum(
                 min(len(t), r.max_new_tokens)
                 for t, r in zip(res.tokens, group)
             )
-        return done_tokens
+            # every row's answer materializes when its group returns
+            ttfts += [time.perf_counter() - t0] * len(group)
+        return done_tokens, ttfts
 
     # ---- continuous batching ----
     cont = ContinuousEngine(engine, slots=args.slots, cache_len=cache_len,
                             max_new_cap=256, segment_steps=args.segment)
 
-    def run_continuous():
-        out = cont.run(reqs, gen_cfg=gen)
-        return sum(len(c.tokens) for c in out)
-
-    def run_continuous_ljf():
+    def run_continuous(longest_first=False):
         # longest-first admission: the offline/batch-serving makespan
         # heuristic (every request is present up front, so FCFS fairness
         # costs nothing to trade away)
-        out = cont.run(reqs, gen_cfg=gen, longest_first=True)
-        return sum(len(c.tokens) for c in out)
+        out = cont.run(reqs, gen_cfg=gen, longest_first=longest_first)
+        return (sum(len(c.tokens) for c in out),
+                [cont.ttft[i] for i in sorted(cont.ttft)])
 
     # best-of-N: the TPU relay's throughput drifts ±30% minute-to-minute
     # (identical schedules — same segment/block counts — time 1.57-2.10 s
     # across runs), so a single timing is unreliable. Best-of filters the
-    # relay's bad minutes; every strategy gets the same treatment.
-    for name, fn in (("static", run_static), ("continuous", run_continuous),
-                     ("cont (ljf)", run_continuous_ljf)):
+    # relay's bad minutes; every strategy gets the same treatment. TTFT
+    # percentiles come from the best rep (same filtering).
+    for name, fn in (("static", run_static),
+                     ("continuous", run_continuous),
+                     ("cont (ljf)", lambda: run_continuous(True))):
         fn()  # compile
-        best = float("inf")
+        best, best_ttfts = float("inf"), []
         for _ in range(args.reps):
             t0 = time.perf_counter()
-            n = fn()
+            n, ttfts = fn()
             dt = time.perf_counter() - t0
             assert n == total_tokens, (name, n, total_tokens)
-            best = min(best, dt)
-        print(f"  {name:11s}: {best:6.2f} s  {n / best:8.1f} gen tok/s "
+            if dt < best:
+                best, best_ttfts = dt, ttfts
+        p50, p99 = np.percentile(best_ttfts, [50, 99])
+        print(f"  {name:11s}: {best:6.2f} s  {n / best:8.1f} gen tok/s  "
+              f"TTFT p50 {p50 * 1e3:6.0f} ms  p99 {p99 * 1e3:6.0f} ms "
               f"(best of {args.reps})", flush=True)
         if name.startswith("cont"):
             print(f"    stats: {cont.stats}", flush=True)
