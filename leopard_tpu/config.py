@@ -97,10 +97,11 @@ class TextConfig:
     # prefill/training; "dense" | "chunked" | "flash" force one.
     attn_impl: str = "auto"
     attn_chunk_size: int = 512
-    # flash kernel block size for forward-only (inference prefill) calls:
-    # 1024×1024 measured 1.25× the 512×512 blocks on v5e at 4k causal (fewer
-    # online-softmax state round-trips per kv element); training fwd+bwd
-    # keeps attn_chunk_size (the bwd kernels' VMEM footprint is larger)
+    # flash kernel block size (both inference prefill fwd and training
+    # fwd+bwd): 1024×1024 measured best on v5e at 4k AND 16k causal, fwd and
+    # fwd+bwd (tools/tune_flash.py r5 sweep: 4k fwd+bwd 6.78 ms vs 7.70 at
+    # 512²; 16k 49.5 vs 63.8) — fewer online-softmax state round-trips per
+    # kv element. 2048-side blocks fail to compile (VMEM).
     flash_block_size: int = 1024
     long_seq_threshold: int = 2048
     # MoE (0 experts = dense MLP). When enabled, every layer's MLP becomes a
@@ -115,6 +116,9 @@ class TextConfig:
     # expert-parallel all-to-all transport capacity factor (ops/moe.py):
     # <= 0 → worst-case buckets (zero drops); ~2.0 for production EP
     moe_ep_capacity_factor: float = 0.0
+    # variable-split EP transport (jax.lax.ragged_all_to_all): moves only the
+    # routed bytes over ICI, zero drops. TPU-only — keep False on CPU meshes.
+    moe_ep_ragged_a2a: bool = False
 
     @property
     def q_per_kv(self) -> int:

@@ -333,9 +333,11 @@ def _layer(
     elif attn_impl == "flash":
         from leopard_tpu.ops.pallas.flash_attention import flash_attention
 
-        blk = _pick_chunk(
-            s, cfg.flash_block_size if fresh_cache else cfg.attn_chunk_size
-        )
+        # 1024×1024 blocks win for BOTH fwd-only prefill AND training
+        # fwd+bwd on v5e (tools/tune_flash.py: 4k fwd+bwd 6.78 ms vs 7.70 at
+        # 512²; 16k 49.5 vs 63.8 — fewer online-softmax state round-trips
+        # per kv element; the bwd VMEM concern didn't materialize)
+        blk = _pick_chunk(s, cfg.flash_block_size)
         o = flash_attention(
             q, kk, vv, causal=True,
             q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
@@ -414,6 +416,7 @@ def _layer(
             aux_loss_coef=cfg.moe_aux_loss_coef,
             z_loss_coef=cfg.moe_z_loss_coef,
             ep_capacity_factor=cfg.moe_ep_capacity_factor,
+            ep_ragged_a2a=cfg.moe_ep_ragged_a2a,
             intermediate_size=cfg.intermediate_size, hidden_size=h,
             dtype=cfg.dtype,
         )

@@ -123,16 +123,34 @@ def forward(
     feature_row_offsets: Optional[jnp.ndarray] = None,  # [B] chunked prefill
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Full VLM forward → (logits [B, S, V] fp32, updated cache)."""
+    from leopard_tpu.parallel.sharding import maybe_constrain
+
     embeds = jnp.take(params["text"]["embed_tokens"], jnp.maximum(tokens, 0), axis=0)
+    # pin the gather output to the activation layout. The embed table keeps
+    # H unsharded (vocab over model×fsdp, parallel/sharding.py) precisely so
+    # this is a cheap slice of a replicated-H tensor; H-fsdp or unpinned
+    # layouts here made the SPMD partitioner replicate the [B,S,H] gather
+    # output then repartition ("Involuntary full rematerialization", dryrun
+    # phase-1 warning) — ~1 GB/device at the 8B profile.
+    embeds = maybe_constrain(embeds, ("data", "fsdp"), "seq", None)
     if image_features is None and images is not None:
         image_features = encode_images(
             params, cfg, images, patch_mask,
             remat=remat if remat_vision is None else remat_vision,
         )
     if image_features is not None:
+        # image features are consumed by a flat gather over all rows — they
+        # must be replicated across the token shards; saying so explicitly
+        # keeps the reshard an all-gather of O(N_tiles·T·H) (48·169·4096·2B
+        # = 66 MB at the 8B eval shape) instead of an involuntary
+        # replicate-repartition of the [B,S,H] splice output
+        image_features = maybe_constrain(
+            image_features, None, None, None, allow_replicated=True
+        )
         is_image = tokens == cfg.image_token_id
         embeds = splice_image_features(embeds, image_features, is_image,
                                        row_offsets=feature_row_offsets)
+        embeds = maybe_constrain(embeds, ("data", "fsdp"), "seq", None)
     return decoder.forward(
         params["text"],
         cfg.text,

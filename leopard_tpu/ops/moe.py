@@ -44,6 +44,13 @@ class MoEConfig:
     # should set ~2.0 (≙ Megatron --moe-expert-capacity-factor on the
     # MoEAlltoAllTokenDispatcher, token_dispatcher.py:282).
     ep_capacity_factor: float = 0.0
+    # Variable-split EP transport via `jax.lax.ragged_all_to_all` — moves
+    # ONLY the routed rows over ICI (≙ Megatron's variable-split a2a,
+    # token_dispatcher.py:282). TPU-only (XLA:CPU has no ragged-all-to-all
+    # thunk, so the CPU dryrun mesh can't execute it); lowering is
+    # HLO-verified in tests/test_moe.py. When set, ep_capacity_factor is
+    # ignored and no token is ever dropped.
+    ep_ragged_a2a: bool = False
 
 
 def init_params(cfg: MoEConfig, key: jax.Array) -> dict:
@@ -139,7 +146,8 @@ def _ep_mesh_axes():
 
 
 def _dropless_dispatch_ep(params: dict, xt, top_p, top_i, k: int, e: int,
-                          axes, n_shards: int, ep: int, cap_factor: float):
+                          axes, n_shards: int, ep: int, cap_factor: float,
+                          ragged: bool = False):
     """Distributed dropless dispatch: shard_map over the token-sharding axes
     with an EXPLICIT all-to-all over the "expert" axis (≙ Megatron's
     MoEAlltoAllTokenDispatcher, token_dispatcher.py:282, and the a2a
@@ -152,10 +160,20 @@ def _dropless_dispatch_ep(params: dict, xt, top_p, top_i, k: int, e: int,
 
       1. an all-gather of the [ep] per-destination row counts (builds the
          [ep, ep] send matrix every shard needs for offsets/drop math);
-      2. the all-to-all itself, on statically-shaped [ep, C, ·] buckets
-         (dense transport: works on every backend incl. the CPU dryrun mesh;
-         `jax.lax.ragged_all_to_all` would move only the routed bytes but is
-         TPU-only and unverifiable without real multi-chip hardware).
+      2. the all-to-all itself. Two transports, `ragged` selecting at trace
+         time:
+         - dense (default): statically-shaped [ep, C, ·] buckets — works on
+           every backend incl. the CPU dryrun mesh; at worst-case capacity
+           (cap_factor<=0, C = T_local·k) each shard puts ep·C·H·2 bytes on
+           the wire, ep× the bytes actually routed;
+         - ragged (`jax.lax.ragged_all_to_all`): variable splits sent
+           straight out of the sorted row buffer — exactly the routed
+           T_local·k·H·2 bytes (+4 bytes/row of expert ids) cross ICI, an
+           ep× wire-traffic saving over worst-case dense at zero drops (the
+           [ep·T_local·k, H] recv buffer stays worst-case in HBM — memory
+           equal to dense, only transport shrinks). TPU-only: XLA:CPU has no
+           ragged-all-to-all thunk, so it's opt-in (cfg.ep_ragged_a2a) and
+           HLO-lowering-verified in tests.
 
     Per shard: sort local assignments by global expert id (contiguous by
     destination shard since experts are block-sharded), pack per-destination
@@ -193,26 +211,45 @@ def _dropless_dispatch_ep(params: dict, xt, top_p, top_i, k: int, e: int,
         send = gs.reshape(ep, e_l).sum(-1)                      # rows → dst
         in_off = jnp.cumsum(send) - send
 
-        # pack per-destination buckets [ep, C, ·]; rows past C are dropped
-        c_iota = jnp.arange(cap, dtype=jnp.int32)[None, :]
-        src_row = in_off[:, None] + c_iota                      # [ep, C]
-        valid = c_iota < jnp.minimum(send, cap)[:, None]
-        take_row = jnp.clip(src_row, 0, tk - 1)
-        x_send = jnp.where(
-            valid[..., None], jnp.take(x_sorted, take_row, axis=0), 0
-        )
-        id_send = jnp.where(valid, jnp.take(sort_eid, take_row), e)
+        if ragged:
+            # variable-split transport: slices of x_sorted go out directly.
+            # Offsets everyone needs come from the all-gathered send matrix
+            # S[src, dst]: my slice for dst d lands at Σ_{i<my} S[i, d] in
+            # d's recv buffer; src d's block starts locally at Σ_{i<d} S[i, my]
+            S = jax.lax.all_gather(send, "expert", axis=0)      # [src, dst]
+            col_off = jnp.cumsum(S, axis=0) - S
+            nrecv = ep * tk                                     # static worst case
+            x_recv = jax.lax.ragged_all_to_all(
+                x_sorted, jnp.zeros((nrecv, h), x_sorted.dtype),
+                in_off, send, col_off[my], S[:, my], axis_name="expert",
+            )
+            # padding rows keep id == e so they sort past every real row
+            id_recv = jax.lax.ragged_all_to_all(
+                sort_eid, jnp.full((nrecv,), e, jnp.int32),
+                in_off, send, col_off[my], S[:, my], axis_name="expert",
+            )
+        else:
+            # pack per-destination buckets [ep, C, ·]; rows past C dropped
+            c_iota = jnp.arange(cap, dtype=jnp.int32)[None, :]
+            src_row = in_off[:, None] + c_iota                  # [ep, C]
+            valid = c_iota < jnp.minimum(send, cap)[:, None]
+            take_row = jnp.clip(src_row, 0, tk - 1)
+            x_send = jnp.where(
+                valid[..., None], jnp.take(x_sorted, take_row, axis=0), 0
+            )
+            id_send = jnp.where(valid, jnp.take(sort_eid, take_row), e)
 
-        x_recv = jax.lax.all_to_all(
-            x_send, "expert", split_axis=0, concat_axis=0
-        ).reshape(ep * cap, h)
-        id_recv = jax.lax.all_to_all(
-            id_send, "expert", split_axis=0, concat_axis=0
-        ).reshape(ep * cap)
+            nrecv = ep * cap
+            x_recv = jax.lax.all_to_all(
+                x_send, "expert", split_axis=0, concat_axis=0
+            ).reshape(nrecv, h)
+            id_recv = jax.lax.all_to_all(
+                id_send, "expert", split_axis=0, concat_axis=0
+            ).reshape(nrecv)
 
         # local re-sort by expert id; padding (id == e) sorts past the end
         key2, perm2 = jax.lax.sort_key_val(
-            id_recv, jnp.arange(ep * cap, dtype=jnp.int32)
+            id_recv, jnp.arange(nrecv, dtype=jnp.int32)
         )
         xr = jnp.take(x_recv, perm2, axis=0)
         gs_local = jnp.bincount(
@@ -229,22 +266,37 @@ def _dropless_dispatch_ep(params: dict, xt, top_p, top_i, k: int, e: int,
         if "model" in manual_axes:
             y = jax.lax.psum(y, "model")
 
-        # reverse path: unsort to recv order, all-to-all back, unpack to
-        # x_sorted rows (OOB scatter index tk drops the padding rows)
+        # reverse path: unsort to recv order, all-to-all back into
+        # x_sorted-aligned rows
         y_recv_order = jnp.zeros_like(y).at[perm2].set(y)
-        y_back_blocks = jax.lax.all_to_all(
-            y_recv_order.reshape(ep, cap, h), "expert",
-            split_axis=0, concat_axis=0,
-        )
-        y_sorted = jnp.zeros((tk + 1, h), y.dtype).at[
-            jnp.where(valid, src_row, tk)
-        ].add(y_back_blocks, mode="drop")[:tk]
+        if ragged:
+            # roles swap exactly: my src-d block (at col_off[:, my][d],
+            # S[d, my] rows) returns to d's x_sorted segment for dst `my`
+            # (d's in_off[my] == row_off[d, my]); every routed row comes
+            # back, so the output buffer is exactly [tk, H] and no token
+            # was ever dropped
+            row_off = jnp.cumsum(S, axis=1) - S
+            y_sorted = jax.lax.ragged_all_to_all(
+                y_recv_order, jnp.zeros((tk, h), y.dtype),
+                col_off[:, my], S[:, my], row_off[:, my], send,
+                axis_name="expert",
+            )
+            dropped = jnp.zeros((1,), jnp.int32)
+        else:
+            # (OOB scatter index tk drops the padding rows)
+            y_back_blocks = jax.lax.all_to_all(
+                y_recv_order.reshape(ep, cap, h), "expert",
+                split_axis=0, concat_axis=0,
+            )
+            y_sorted = jnp.zeros((tk + 1, h), y.dtype).at[
+                jnp.where(valid, src_row, tk)
+            ].add(y_back_blocks, mode="drop")[:tk]
+            dropped = jnp.maximum(send - cap, 0).sum().reshape(1)
 
         gates = jnp.take(top_p.reshape(tk), sort_idx).astype(y.dtype)
         out = jnp.zeros((t_l, h), y.dtype).at[sort_idx // k].add(
             y_sorted * gates[:, None]
         )
-        dropped = jnp.maximum(send - cap, 0).sum().reshape(1)
         return out, dropped
 
     mesh = jax.sharding.get_abstract_mesh()
@@ -297,7 +349,7 @@ def moe_layer(
         if ep > 1:
             out, frac = _dropless_dispatch_ep(
                 params, xt, top_p, top_i, k, e, axes, n_shards, ep,
-                cfg.ep_capacity_factor,
+                cfg.ep_capacity_factor, ragged=cfg.ep_ragged_a2a,
             )
             aux["fraction_dropped"] = frac
             return out.reshape(b, s, h).astype(x.dtype), aux

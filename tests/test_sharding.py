@@ -34,7 +34,7 @@ def test_param_specs_match_rules():
     assert specs["text"]["layers"]["attn"]["wq"] == P(None, None, "model")
     assert specs["text"]["layers"]["attn"]["wo"] == P(None, "model", None)
     assert specs["text"]["layers"]["mlp"]["w_down"] == P(None, "model", None)
-    assert specs["text"]["embed_tokens"] == P("model", None)
+    assert specs["text"]["embed_tokens"] == P(("model", "fsdp"), None)
     assert specs["text"]["lm_head"] == P(None, "model")
     assert specs["text"]["layers"]["input_norm"] == P(None, None)
     assert specs["vision"]["layers"]["attn"]["bq"] == P(None, "model")
@@ -45,7 +45,13 @@ def test_fsdp_specs_add_axis():
     cfg, params = _tiny()
     specs = param_specs(params, fsdp=True)
     assert specs["text"]["layers"]["attn"]["wq"] == P("fsdp", None, "model")
-    assert specs["text"]["embed_tokens"] == P("model", "fsdp")
+    # embed table: vocab over model×fsdp jointly, H REPLICATED — fsdp must
+    # not land on H (it made every lookup's output H-sharded and the
+    # partitioner fell back to replicate-then-repartition; VERDICT r4 #6)
+    assert specs["text"]["embed_tokens"] == P(("model", "fsdp"), None)
+    # patchify conv / pos embeddings stay fully replicated under fsdp
+    assert specs["vision"]["patch_embed"]["kernel"] == P(None, None)
+    assert specs["vision"]["pos_embed"] == P(None, None)
 
 
 def test_tp_forward_matches_single_device():
@@ -153,3 +159,60 @@ def test_engine_with_mesh_matches_unsharded():
     sharded = Engine(cfg, params, seq_buckets=(8, 16), tile_buckets=(1,), mesh=mesh)
     got = sharded.generate([prompt], gen_cfg=gen).tokens[0]
     np.testing.assert_array_equal(got, want)
+
+
+def test_train_step_compiles_without_involuntary_remat(capfd):
+    """VERDICT r4 item 6: the full dp/fsdp/sp/tp VLM train step (dryrun
+    phase 1) must compile without any SPMD 'Involuntary full
+    rematerialization' — the embedding gather and image-feature splice used
+    to make the partitioner replicate [B,S,H] activations. Guarded by the
+    vocab-over-(model,fsdp) table layout, patch/pos-embed fsdp exclusion,
+    and the maybe_constrain pins in vlm.forward."""
+    from leopard_tpu.config import OptimizerConfig, TrainConfig
+    from leopard_tpu.training.trainer import (
+        TrainState, create_train_state, make_train_step,
+    )
+
+    cfg, params = _tiny()
+    mesh = build_mesh(MeshConfig(data=1, fsdp=2, expert=1, seq=2, model=2))
+    train_cfg = TrainConfig(
+        seq_len=32, global_batch_size=2, micro_batch_size=1, remat="full",
+        optimizer=OptimizerConfig(warmup_steps=2, decay_steps=10),
+    )
+    state = create_train_state(params, train_cfg)
+    p_shard = param_shardings(state.params, mesh, fsdp=True)
+    repl = NamedSharding(mesh, P())
+    state_sharding = TrainState(
+        step=repl, params=p_shard,
+        opt_state=jax.tree_util.tree_map(lambda _: repl, state.opt_state),
+    )
+    state = jax.device_put(state, state_sharding)
+
+    b, s = 2, 32
+    ids = np.full((b, s), 7, np.int32)
+    ids[:, 2:6] = cfg.image_token_id
+    batch = {
+        "tokens": jnp.asarray(ids),
+        "loss_weights": jnp.ones((b, s), jnp.float32),
+        "segment_ids": jnp.ones((b, s), jnp.int32),
+        "images": jnp.asarray(
+            np.random.RandomState(0).randn(b, 3, 56, 56).astype(np.float32)
+        ),
+    }
+    bsh = {
+        "tokens": NamedSharding(mesh, P(("data", "fsdp"), "seq")),
+        "loss_weights": NamedSharding(mesh, P(("data", "fsdp"), "seq")),
+        "segment_ids": NamedSharding(mesh, P(("data", "fsdp"), "seq")),
+        "images": NamedSharding(mesh, P(("data", "fsdp"), None, None, None)),
+    }
+    batch = jax.device_put(batch, bsh)
+
+    step_fn = jax.jit(
+        make_train_step(cfg, train_cfg),
+        in_shardings=(state_sharding, bsh),
+        out_shardings=(state_sharding, None),
+    )
+    with jax.set_mesh(mesh):
+        step_fn.lower(state, batch).compile()
+    err = capfd.readouterr().err
+    assert "Involuntary full rematerialization" not in err
