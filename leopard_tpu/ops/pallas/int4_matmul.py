@@ -6,8 +6,9 @@ XLA has no native 4-bit dot, so a pure-JAX unpack (`shift/mask → int8 →
 dot`) materializes the unpacked int8 tensor in HBM, reading MORE bytes than
 int8 ever did. This kernel unpacks nibbles in VMEM instead: per grid step it
 loads a [bk, bn] uint8 block (two nibble planes), selects this K-block's
-plane, dequantizes against the per-(group, out-channel) scale, and feeds the
-MXU — HBM sees only the packed bytes and the fp accumulator.
+plane, dequantizes against the per-(group, out-channel) scales IN VMEM, and
+feeds one [M, bk]×[bk, bn] dot to the MXU — HBM sees only the packed bytes
+and the fp accumulator.
 
 Packing layout (ops/quant.py::quantize_int4): byte row i of `q4` holds
 logical weight row i in its LOW nibble and row i + K/2 in its HIGH nibble
@@ -16,9 +17,17 @@ so K-blocks map to contiguous packed rows — Mosaic-friendly, no sublane
 shuffles). Values are stored offset-binary (q + 8 ∈ [1, 15], q ∈ [-7, 7]
 symmetric around the per-group scale max|w|/7).
 
-Scales factor out of the block dot: a K-block IS one quant group, so
-acc += (x_blk @ q_blk) · s[group, out] — the dequant multiply runs on the
-[M, bn] partial product, not the [bk, bn] weight block.
+r5 retune: the first version used one quant group (128 rows) per K-block so
+scales could factor out of the block dot — but 128-row blocks make the grid
+K/128 × N/bn steps and decode goes grid-overhead-bound (measured 142 tok/s
+at 1.5B b1, SLOWER than int8's 400). Now a K-block covers `block_k` rows
+(default 512 = 4 groups); the [bk//128, 1, bn]-blocked scales broadcast over
+their groups during the VMEM dequant, cutting grid steps 4× (measured
+numbers: tools/bench_decode.py --quantize int4, CLAUDE.md).
+
+Mosaic tiling note: a scale block of [1, bn] over a [K//128, N] array is
+illegal (second-minor block dim must divide 8 or equal the array dim), so
+scales are passed as a [K//128, 1, N] view and blocked [g, 1, bn].
 """
 
 from __future__ import annotations
@@ -34,12 +43,15 @@ def _kernel(x_ref, p_ref, s_ref, o_ref, *, half: int):
     jk = pl.program_id(1)
     p = p_ref[...].astype(jnp.int32)
     nib = jnp.where(jk < half, p & 15, p >> 4)
-    w8 = (nib - 8).astype(jnp.bfloat16)                       # [bk, bn]
+    w8 = (nib - 8).astype(jnp.bfloat16)                        # [bk, bn]
+    bk, bn = w8.shape
+    g = s_ref.shape[0]
+    scales = s_ref[...].astype(jnp.bfloat16)                   # [g, 1, bn]
+    wd = (w8.reshape(g, bk // g, bn) * scales).reshape(bk, bn)
     part = jnp.dot(
-        x_ref[...].astype(jnp.bfloat16), w8,
+        x_ref[...].astype(jnp.bfloat16), wd,
         preferred_element_type=jnp.float32,
     )                                                          # [M, bn]
-    part = part * s_ref[...].astype(jnp.float32)               # s: [1, bn]
 
     @pl.when(jk == 0)
     def _():
@@ -50,27 +62,38 @@ def _kernel(x_ref, p_ref, s_ref, o_ref, *, half: int):
         o_ref[...] += part
 
 
-@functools.partial(jax.jit, static_argnames=("block_n",))
+@functools.partial(jax.jit, static_argnames=("block_n", "block_k"))
 def int4_matmul(x: jnp.ndarray, q4: jnp.ndarray, s: jnp.ndarray,
-                block_n: int = 512) -> jnp.ndarray:
+                block_n: int = 512, block_k: int = 512) -> jnp.ndarray:
     """x [M, K] × packed int4 weight → [M, N] f32.
 
     q4: [K//2, N] uint8 split-half packed; s: [K//G, N] f32 group scales
-    with G == 128 (one K-block per group). Requires K % 256 == 0 and
-    N % 128 == 0 (lane tiling).
+    with G == 128. Requires K % 256 == 0 and N % 128 == 0 (lane tiling).
     """
     m, k = x.shape
     n = q4.shape[1]
     groups = s.shape[0]
-    bk = k // groups
-    assert bk == 128 and k % (2 * bk) == 0, (k, groups)
+    assert k // groups == 128 and k % 256 == 0, (k, groups)
     bn = block_n
     while n % bn:
         bn //= 2
     assert bn >= 128, (n, block_n)
+    # K-block: as large as divides evenly into each nibble half
+    bk = min(block_k, k // 2)
+    while (k // 2) % bk:
+        bk //= 2
+    assert bk >= 128 and bk % 128 == 0, (k, block_k)
     nk = k // bk
     half = nk // 2
+    g = bk // 128
 
+    try:
+        from jax.experimental.pallas import tpu as pltpu
+
+        params = dict(compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")))
+    except Exception:  # pragma: no cover — non-TPU backends
+        params = {}
     return pl.pallas_call(
         functools.partial(_kernel, half=half),
         grid=(n // bn, nk),
@@ -79,8 +102,9 @@ def int4_matmul(x: jnp.ndarray, q4: jnp.ndarray, s: jnp.ndarray,
             # both nibble planes of this K-block live in the same packed
             # rows; jk and jk+half map to the same block, different nibble
             pl.BlockSpec((bk, bn), lambda jn, jk: (jk % half, jn)),
-            pl.BlockSpec((1, bn), lambda jn, jk: (jk, jn)),
+            pl.BlockSpec((g, 1, bn), lambda jn, jk: (jk, 0, jn)),
         ],
         out_specs=pl.BlockSpec((m, bn), lambda jn, jk: (0, jn)),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
-    )(x, q4, s)
+        **params,
+    )(x, q4, s[:, None, :])

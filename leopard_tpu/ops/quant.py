@@ -100,13 +100,14 @@ def matmul(x: jnp.ndarray, w: Any) -> jnp.ndarray:
 
             y = int4_matmul(x.reshape(m, k), w["q4"], w["s"])
             return y.astype(x.dtype).reshape(*lead, -1)
-        # Grouped-einsum reference path (CPU, and TPU shapes the kernel
-        # doesn't take: m > 64 — compute-bound prefill — or non-128 groups).
-        # Contracts per (group, out-channel) WITHOUT materializing a [K, N]
-        # f32 dequantized tensor: the nibbles unpack to int8, cast to
-        # x.dtype inside the einsum, and the f32 scales apply to the
-        # [..., K//G, N] partial sums (ADVICE r3: the old path built the
-        # full f32 weight per layer per call).
+        # Dense-dequant path (CPU, and TPU shapes the kernel doesn't take:
+        # m > 64 — compute-bound prefill — or non-128 groups): unpack the
+        # nibbles to int8, scale in x.dtype, and run ONE plain dot. The
+        # transient dequantized [K, N] bf16 block is ≤117 MB at the 8B
+        # profile and amortizes over ≥64 rows. (r5: the previous
+        # grouped-einsum variant avoided this temp but produced a
+        # [M, K//G, N] f32 partial-sum tensor — 7.5 GB/layer at the 8B
+        # batch-8 context prefill, a compile-time OOM on TPU.)
         q4, s = w["q4"], w["s"]
         if q4.ndim == 2:
             kh, n = q4.shape
@@ -115,12 +116,11 @@ def matmul(x: jnp.ndarray, w: Any) -> jnp.ndarray:
             lo = (q4 & 15).astype(jnp.int8)
             hi = (q4 >> 4).astype(jnp.int8)
             q = jnp.concatenate([lo, hi], axis=0) - jnp.int8(8)  # [K, N] int8
-            xg = x.reshape(*lead, kk // group, group)
-            qg = q.reshape(kk // group, group, n).astype(x.dtype)
-            part = jnp.einsum("...ag,agn->...an", xg, qg)
-            return jnp.einsum(
-                "...an,an->...n", part.astype(jnp.float32), s
-            ).astype(x.dtype)
+            wf = (
+                q.reshape(kk // group, group, n).astype(x.dtype)
+                * s.astype(x.dtype)[:, None, :]
+            ).reshape(kk, n)
+            return x @ wf
         return (x @ _unpack_int4(w).astype(x.dtype))
     if is_quantized(w):
         y = x @ w["q"].astype(x.dtype)
