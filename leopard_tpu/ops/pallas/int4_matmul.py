@@ -17,13 +17,14 @@ so K-blocks map to contiguous packed rows — Mosaic-friendly, no sublane
 shuffles). Values are stored offset-binary (q + 8 ∈ [1, 15], q ∈ [-7, 7]
 symmetric around the per-group scale max|w|/7).
 
-r5 retune: the first version used one quant group (128 rows) per K-block so
-scales could factor out of the block dot — but 128-row blocks make the grid
-K/128 × N/bn steps and decode goes grid-overhead-bound (measured 142 tok/s
-at 1.5B b1, SLOWER than int8's 400). Now a K-block covers `block_k` rows
-(default 512 = 4 groups); the [bk//128, 1, bn]-blocked scales broadcast over
-their groups during the VMEM dequant, cutting grid steps 4× (measured
-numbers: tools/bench_decode.py --quantize int4, CLAUDE.md).
+r5 retune: the first version used one quant group (128 rows) per K-block
+with a per-element `where` selecting the nibble plane — grid-overhead- and
+VPU-bound (142 tok/s at 1.5B b1, SLOWER than int8's 400). Now each grid
+step consumes BOTH nibble planes of a `block_k`-row packed block (two dots
+against the matching x slices — packed bytes read exactly once, no select,
+unpack arithmetic in bf16 not int32), with [g, 1, bn]-blocked scales
+broadcasting over their groups during the VMEM dequant (measured numbers:
+tools/bench_decode.py --quantize int4, CLAUDE.md).
 
 Mosaic tiling note: a scale block of [1, bn] over a [K//128, N] array is
 illegal (second-minor block dim must divide 8 or equal the array dim), so
@@ -39,17 +40,26 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 
-def _kernel(x_ref, p_ref, s_ref, o_ref, *, half: int):
+def _kernel(xlo_ref, xhi_ref, p_ref, slo_ref, shi_ref, o_ref):
     jk = pl.program_id(1)
-    p = p_ref[...].astype(jnp.int32)
-    nib = jnp.where(jk < half, p & 15, p >> 4)
-    w8 = (nib - 8).astype(jnp.bfloat16)                        # [bk, bn]
-    bk, bn = w8.shape
-    g = s_ref.shape[0]
-    scales = s_ref[...].astype(jnp.bfloat16)                   # [g, 1, bn]
-    wd = (w8.reshape(g, bk // g, bn) * scales).reshape(bk, bn)
+    p = p_ref[...]                                             # uint8 [bk, bn]
+    bk, bn = p.shape
+    g = slo_ref.shape[0]
+    # BOTH nibble planes of the packed block are consumed every step (two
+    # dots against the matching x slices) — no per-element select, no
+    # double-unpack, and the packed bytes are read exactly once
+    p32 = p.astype(jnp.int32)         # Mosaic has no uint8→bf16 cast
+    lo = ((p32 & 15) - 8).astype(jnp.bfloat16)
+    hi = ((p32 >> 4) - 8).astype(jnp.bfloat16)
+    wlo = (lo.reshape(g, bk // g, bn)
+           * slo_ref[...].astype(jnp.bfloat16)).reshape(bk, bn)
+    whi = (hi.reshape(g, bk // g, bn)
+           * shi_ref[...].astype(jnp.bfloat16)).reshape(bk, bn)
     part = jnp.dot(
-        x_ref[...].astype(jnp.bfloat16), wd,
+        xlo_ref[...].astype(jnp.bfloat16), wlo,
+        preferred_element_type=jnp.float32,
+    ) + jnp.dot(
+        xhi_ref[...].astype(jnp.bfloat16), whi,
         preferred_element_type=jnp.float32,
     )                                                          # [M, bn]
 
@@ -78,14 +88,15 @@ def int4_matmul(x: jnp.ndarray, q4: jnp.ndarray, s: jnp.ndarray,
     while n % bn:
         bn //= 2
     assert bn >= 128, (n, block_n)
-    # K-block: as large as divides evenly into each nibble half
-    bk = min(block_k, k // 2)
-    while (k // 2) % bk:
+    kh = k // 2
+    # packed K-block: as large as divides evenly into each nibble half
+    bk = min(block_k, kh)
+    while kh % bk:
         bk //= 2
     assert bk >= 128 and bk % 128 == 0, (k, block_k)
-    nk = k // bk
-    half = nk // 2
+    nk = kh // bk                     # packed blocks; each covers 2·bk rows
     g = bk // 128
+    half_g = kh // 128                # scale-row offset of the high plane
 
     try:
         from jax.experimental.pallas import tpu as pltpu
@@ -94,17 +105,21 @@ def int4_matmul(x: jnp.ndarray, q4: jnp.ndarray, s: jnp.ndarray,
             dimension_semantics=("parallel", "arbitrary")))
     except Exception:  # pragma: no cover — non-TPU backends
         params = {}
+    s3 = s[:, None, :]
     return pl.pallas_call(
-        functools.partial(_kernel, half=half),
+        _kernel,
         grid=(n // bn, nk),
         in_specs=[
+            # x slices matching the low (rows [jk·bk, +bk)) and high
+            # (same + K/2) nibble planes of packed block jk
             pl.BlockSpec((m, bk), lambda jn, jk: (0, jk)),
-            # both nibble planes of this K-block live in the same packed
-            # rows; jk and jk+half map to the same block, different nibble
-            pl.BlockSpec((bk, bn), lambda jn, jk: (jk % half, jn)),
+            pl.BlockSpec((m, bk), lambda jn, jk, nk=nk: (0, jk + nk)),
+            pl.BlockSpec((bk, bn), lambda jn, jk: (jk, jn)),
             pl.BlockSpec((g, 1, bn), lambda jn, jk: (jk, 0, jn)),
+            pl.BlockSpec((g, 1, bn),
+                         lambda jn, jk, g=g, hg=half_g: (jk + hg // g, 0, jn)),
         ],
         out_specs=pl.BlockSpec((m, bn), lambda jn, jk: (0, jn)),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
         **params,
-    )(x, q4, s[:, None, :])
+    )(x, x, q4, s3, s3)
