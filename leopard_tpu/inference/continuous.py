@@ -200,6 +200,23 @@ class ContinuousEngine:
         self.cache_len = round_up(cache_len, 512)
         self.max_new_cap = max_new_cap
         self.segment_steps = segment_steps
+        self._prefix = None
+
+    def _fresh_cache(self, rows: int):
+        """A `rows`-row cache, seeded with the run's shared prefix when one
+        is active (then the request prompt prefills as a continuation)."""
+        from leopard_tpu.inference.engine import _seed_prefix, round_up
+
+        eng = self.engine
+        cache = KVCache.create(eng.cfg.text, rows, self.cache_len,
+                               quantized=eng.quantize_kv)
+        if self._prefix is None:
+            return cache, True
+        p_len = self._prefix.length
+        return _seed_prefix(
+            cache, self._prefix.cache, jnp.int32(p_len),
+            min(round_up(p_len, 512), self.cache_len),
+        ), False
 
     def _prefill_one(self, req: Request, gen_cfg: GenerateConfig):
         """Prefill one request at batch 1 into a fresh single-row cache."""
@@ -212,11 +229,10 @@ class ContinuousEngine:
         feats = None
         if req.images is not None and req.images.shape[0] > 0:
             feats = eng.encode_images(req.images, req.patch_mask)
-        cache = KVCache.create(eng.cfg.text, 1, self.cache_len,
-                               quantized=eng.quantize_kv)
+        cache, fresh = self._fresh_cache(1)
         logits, cache = _prefill(
             eng.params, eng.cfg, jnp.asarray(tokens), jnp.asarray(seg),
-            cache, feats, fresh=True,
+            cache, feats, fresh=fresh,
         )
         return logits, cache
 
@@ -231,16 +247,16 @@ class ContinuousEngine:
             p = reqs[min(i, len(reqs) - 1)].prompt
             tokens[i, : len(p)] = p
             seg[i, : len(p)] = 1
-        cache = KVCache.create(eng.cfg.text, nb, self.cache_len,
-                               quantized=eng.quantize_kv)
+        cache, fresh = self._fresh_cache(nb)
         return _prefill(
             eng.params, eng.cfg, jnp.asarray(tokens), jnp.asarray(seg),
-            cache, None, fresh=True,
+            cache, None, fresh=fresh,
         )
 
     def run(self, requests: Sequence[Request],
             gen_cfg: Optional[GenerateConfig] = None,
-            longest_first: bool = False) -> List[Completion]:
+            longest_first: bool = False,
+            prefix=None) -> List[Completion]:
         """Serve all requests; returns completions in request order.
 
         The loop is PIPELINED: each boundary snapshots the host-visible
@@ -256,13 +272,21 @@ class ContinuousEngine:
         `longest_first=True` admits requests by descending token budget —
         the classic makespan heuristic for offline/batch serving (all
         requests present up front). Completions still return in request
-        order. Leave False for online FCFS fairness."""
+        order. Leave False for online FCFS fairness.
+
+        `prefix`: an `Engine.build_prefix` result shared by EVERY request of
+        this run (few-shot header / system prompt) — each staged prefill
+        seeds the prefix KV and prefills only the request's own prompt
+        (tokens identical to concatenating the prefix into every prompt,
+        tests/test_prefix.py)."""
         eng = self.engine
         gen_cfg = gen_cfg or eng.gen_cfg
         assert gen_cfg.repetition_penalty == 1.0, (
             "continuous batching does not support repetition_penalty "
             "(use Engine.generate)"
         )
+        self._prefix = prefix
+        p_len = prefix.length if prefix is not None else 0
         for r in requests:
             if r.max_new_tokens > self.max_new_cap:
                 import warnings
@@ -271,7 +295,8 @@ class ContinuousEngine:
                     f"request max_new_tokens {r.max_new_tokens} truncated to "
                     f"engine max_new_cap {self.max_new_cap}", stacklevel=2,
                 )
-            need = len(r.prompt) + min(r.max_new_tokens, self.max_new_cap)
+            need = p_len + len(r.prompt) + min(r.max_new_tokens,
+                                               self.max_new_cap)
             assert need <= self.cache_len, (
                 f"request needs {need} cache slots > cache_len "
                 f"{self.cache_len}"

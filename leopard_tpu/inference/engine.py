@@ -132,6 +132,48 @@ def _decode(params, cfg: VLMConfig, gen_cfg: GenerateConfig, first_logits,
 
 
 @dataclasses.dataclass
+class Prefix:
+    """A prefilled, reusable prompt prefix (system prompt / few-shot header).
+
+    KV for the prefix is computed ONCE (single-row prefill) and seeded into
+    every row of a batch cache at generate(prefix=...) time — requests then
+    prefill only their suffix (vLLM-class prefix caching; no reference
+    equivalent — the reference re-prefills the full prompt per batch,
+    evaluations/models/llava_multiimg_siglip_anyres.py:364-452). Works
+    because the cache invariant is slot == absolute position: seeding rows
+    with the prefix KV and index=length makes the suffix land at positions
+    [length, length+s) with correct RoPE and causal masking for free."""
+    cache: KVCache           # batch-1 cache holding slots [0, bucket(P))
+    length: int              # P — real prefix tokens
+    tokens: np.ndarray       # the prefix ids (for clients that need them)
+
+
+@partial(jax.jit, static_argnames=("sp_keep",), donate_argnames=("cache",))
+def _seed_prefix(cache: KVCache, pre: KVCache, p_len, sp_keep: int):
+    """Broadcast the single-row prefix cache into every row of `cache` and
+    set per-row fill index to the prefix length. Only the first `sp_keep`
+    prefix slots are copied (≥ p_len; the prefix bucket may be larger than
+    the target cache); slots in [p_len, sp_keep) carry seg=0 (masked) and
+    are overwritten by the suffix prefill."""
+    b = cache.kv.shape[1]
+
+    def put(big, small, slot_axis):
+        small = jax.lax.slice_in_dim(small, 0, sp_keep, axis=slot_axis)
+        tiled = jnp.broadcast_to(small, small.shape[:1] + (b,) + small.shape[2:])
+        start = (jnp.zeros((), jnp.int32),) * big.ndim
+        return jax.lax.dynamic_update_slice(big, tiled.astype(big.dtype),
+                                            start)
+
+    return KVCache(
+        kv=put(cache.kv, pre.kv, 2),
+        seg=put(cache.seg[None], pre.seg[None], 2)[0],
+        index=jnp.full((b,), p_len, jnp.int32),
+        kv_scale=(None if cache.kv_scale is None
+                  else put(cache.kv_scale, pre.kv_scale, 2)),
+    )
+
+
+@dataclasses.dataclass
 class GenerationResult:
     tokens: List[np.ndarray]          # generated ids per row (trimmed at eos)
     prompt_lengths: List[int]
@@ -204,6 +246,31 @@ class Engine:
         )
         return feats  # [NB, T, H]; rows ≥ n are unused by the splice gather
 
+    def build_prefix(
+        self,
+        prompt: np.ndarray,
+        images: Optional[np.ndarray] = None,
+        patch_mask: Optional[np.ndarray] = None,
+    ) -> Prefix:
+        """Prefill a shared prompt prefix ONCE for reuse across generate()
+        calls (system prompt, few-shot header, shared document — may include
+        images: their features splice during this prefill and live in the
+        KV like any other position)."""
+        prompt = np.asarray(prompt, np.int32)
+        s = self._bucket(len(prompt), self.seq_buckets)
+        tokens = np.zeros((1, s), np.int32)
+        seg = np.zeros((1, s), np.int32)
+        tokens[0, : len(prompt)] = prompt
+        seg[0, : len(prompt)] = 1
+        feats = None
+        if images is not None and images.shape[0] > 0:
+            feats = self.encode_images(images, patch_mask)
+        cache = KVCache.create(self.cfg.text, 1, round_up(s, 512),
+                               quantized=self.quantize_kv)
+        _, cache = _prefill(self.params, self.cfg, jnp.asarray(tokens),
+                            jnp.asarray(seg), cache, feats, fresh=True)
+        return Prefix(cache=cache, length=len(prompt), tokens=prompt)
+
     def generate(
         self,
         prompts: Sequence[np.ndarray],
@@ -212,11 +279,21 @@ class Engine:
         gen_cfg: Optional[GenerateConfig] = None,
         max_cache: Optional[int] = None,
         spec=None,                                  # SpecConfig → speculative decode
+        prefix: Optional[Prefix] = None,            # shared prefilled prefix
     ) -> GenerationResult:
         gen_cfg = gen_cfg or self.gen_cfg
         if spec is not None:
             assert gen_cfg.greedy and gen_cfg.repetition_penalty == 1.0, (
                 "speculative decoding is greedy-only (inference/speculative.py)"
+            )
+        if prefix is not None:
+            assert spec is None, (
+                "prefix caching + speculative decode not supported (the "
+                "n-gram history buffer would need the prefix tokens)"
+            )
+            assert gen_cfg.repetition_penalty == 1.0, (
+                "repetition_penalty scans only the suffix tokens; with a "
+                "prefix the penalty would silently ignore prefix tokens"
             )
         b = len(prompts)
         lengths = [len(p) for p in prompts]
@@ -240,16 +317,27 @@ class Engine:
         # silently overwrites the newest valid KV — tokens near max_new then
         # diverge from plain greedy (ADVICE r3, verified at prompt==bucket).
         spec_pad = spec.draft if spec is not None else 0
+        p_len = prefix.length if prefix is not None else 0
         cache_len = max_cache or round_up(
-            s + gen_cfg.max_new_tokens + spec_pad, 512
+            p_len + s + gen_cfg.max_new_tokens + spec_pad, 512
         )
         if spec is not None and max_cache is not None:
             assert max_cache >= s + gen_cfg.max_new_tokens + spec.draft, (
                 f"max_cache {max_cache} leaves no verify-block headroom for "
                 f"speculative decode (need >= {s + gen_cfg.max_new_tokens + spec.draft})"
             )
+        if prefix is not None:
+            assert cache_len >= p_len + s + gen_cfg.max_new_tokens, (
+                f"cache_len {cache_len} < prefix {p_len} + suffix bucket {s} "
+                f"+ max_new {gen_cfg.max_new_tokens}"
+            )
         cache = KVCache.create(self.cfg.text, b, cache_len,
                                quantized=self.quantize_kv)
+        if prefix is not None:
+            sp_keep = min(round_up(p_len, 512), prefix.cache.kv.shape[2],
+                          cache_len)
+            cache = _seed_prefix(cache, prefix.cache,
+                                 jnp.int32(p_len), sp_keep)
 
         feats = None
         if images is not None and images.shape[0] > 0:
@@ -257,9 +345,12 @@ class Engine:
 
         chunk = self.seq_buckets[-1]
         if s <= chunk:
+            # with a seeded prefix the suffix is a CONTINUATION prefill
+            # (fresh=False): attention runs against the existing cache and
+            # positions come from the per-row index (= prefix length)
             first_logits, cache = _prefill(
                 self.params, self.cfg, jnp.asarray(tokens), jnp.asarray(seg),
-                cache, feats, fresh=True,
+                cache, feats, fresh=prefix is None,
             )
         else:
             # CHUNKED prefill for prompts above the largest bucket: each
@@ -285,7 +376,7 @@ class Engine:
                 logits_j, cache = _prefill(
                     self.params, self.cfg,
                     jnp.asarray(tokens[:, sl]), jnp.asarray(seg[:, sl]),
-                    cache, feats, fresh=(j == 0),
+                    cache, feats, fresh=(j == 0 and prefix is None),
                     feat_offsets=jnp.asarray(offs) if feats is not None else None,
                 )
                 # keep the logits from the chunk holding each row's last token
