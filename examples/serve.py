@@ -32,7 +32,13 @@ def main():
     p.add_argument("--slots", type=int, default=8)
     p.add_argument("--cache-len", type=int, default=2048)
     p.add_argument("--max-new-cap", type=int, default=512)
+    p.add_argument("--system-prompt", default=None,
+                   help="shared system prompt, prefilled ONCE and KV-cached "
+                        "(prefix caching) — prepended to every request")
     args = p.parse_args()
+    if args.spec and args.system_prompt:
+        p.error("--spec and --system-prompt (prefix caching) are mutually "
+                "exclusive")
     if args.spec and args.continuous:
         p.error("--spec applies only to the plain engine path; the "
                 "continuous slot pool decodes one token per row per step. "
@@ -71,8 +77,17 @@ def main():
         from leopard_tpu.inference.speculative import SpecConfig
 
         spec = SpecConfig(ngram=args.spec_ngram, draft=args.spec)
+    prefix = None
+    if args.system_prompt:
+        import numpy as np
+
+        ids = tokenizer(args.system_prompt,
+                        add_special_tokens=True)["input_ids"]
+        prefix = engine.build_prefix(np.asarray(ids, np.int32))
+        print(f"system prompt cached: {prefix.length} tokens")
     GenerationServer(engine, tokenizer, args.host, args.port,
-                     continuous=continuous, spec=spec).serve_forever()
+                     continuous=continuous, spec=spec,
+                     prefix=prefix).serve_forever()
 
 
 if __name__ == "__main__":

@@ -51,18 +51,24 @@ def _decode_images(b64_list) -> list:
 
 class GenerationServer:
     def __init__(self, engine: Engine, tokenizer, host: str = "0.0.0.0",
-                 port: int = 5000, continuous=None, spec=None):
+                 port: int = 5000, continuous=None, spec=None, prefix=None):
         """`continuous`: a ContinuousEngine over the same weights — requests
         route through the slot-refill loop (per-row budgets, greedy/sampling,
         no repetition penalty / logprobs). `spec`: a SpecConfig used for
         greedy plain-mode requests (token-identical, faster on quote-heavy
-        answers)."""
+        answers). `prefix`: an `Engine.build_prefix` result (shared system
+        prompt) prepended — KV-cached, not re-prefilled — to every request;
+        incompatible with `spec` and with repetition_penalty != 1.0."""
         self.engine = engine
         self.tokenizer = tokenizer
         self.host = host
         self.port = port
         self.continuous = continuous
         self.spec = spec
+        self.prefix = prefix
+        if prefix is not None and spec is not None:
+            raise ValueError("prefix caching and speculative decoding are "
+                             "mutually exclusive (n-gram history)")
 
     def _prepare_row(self, text: str, pil_images: list
                      ) -> Tuple[np.ndarray, Optional[np.ndarray],
@@ -131,6 +137,9 @@ class GenerationServer:
         if self.continuous is not None:
             return self._generate_continuous(rows, budgets, gen)
 
+        if self.prefix is not None and gen.repetition_penalty != 1.0:
+            raise ValueError("repetition_penalty is unsupported when the "
+                             "server holds a cached system-prompt prefix")
         ids = [r[0] for r in rows]
         with_px = [r[1] for r in rows if r[1] is not None]
         pixels = np.concatenate(with_px, axis=0) if with_px else None
@@ -139,7 +148,8 @@ class GenerationServer:
         spec = self.spec if (gen.greedy and gen.repetition_penalty == 1.0) \
             else None
         res = self.engine.generate(ids, images=pixels, patch_mask=patch_mask,
-                                   gen_cfg=gen, spec=spec)
+                                   gen_cfg=gen, spec=spec,
+                                   prefix=self.prefix)
         tokens = [t[: b] for t, b in zip(res.tokens, budgets)]
         return {
             "text": [
@@ -163,7 +173,8 @@ class GenerationServer:
             raise ValueError("continuous mode does not support "
                              "repetition_penalty; send 1.0 or use the plain "
                              "server mode")
-        completions = self.continuous.run(reqs, gen_cfg=gen)
+        completions = self.continuous.run(reqs, gen_cfg=gen,
+                                          prefix=self.prefix)
         return {
             "text": [
                 self.tokenizer.decode(c.tokens.tolist(),

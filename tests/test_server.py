@@ -108,6 +108,46 @@ def test_continuous_rejects_repetition_penalty_payload():
         )
 
 
+def test_server_prefix_matches_inline_system_prompt():
+    # a server holding a cached system-prompt prefix must answer exactly as
+    # if the system prompt were prepended to every request — in BOTH modes
+    cfg, engine, tok = _setup()
+    sysprompt = "you are a helpful assistant"
+    sys_ids = np.asarray(tok(sysprompt, add_special_tokens=True)["input_ids"],
+                         np.int32)
+    prefix = engine.build_prefix(sys_ids)
+    plain_inline = GenerationServer(engine, tok)
+    payload = {"prompts": ["hello there", "tell me more"],
+               "max_new_tokens": 4, **BASE}
+    inline = plain_inline.handle_generate(
+        {**payload,
+         "prompts": [sysprompt + " " + p for p in payload["prompts"]]}
+    )
+    # NOTE: tokenizers aren't concat-invariant in general; the fake test
+    # tokenizer is, so token-level comparison needs the SAME split. Compare
+    # through engine.generate directly on concatenated ids instead.
+    ids = [np.asarray(tok(p, add_special_tokens=True)["input_ids"], np.int32)
+           for p in payload["prompts"]]
+    gen = GenerateConfig(max_new_tokens=4, greedy=True,
+                         eos_token_ids=(999999,))
+    want = engine.generate(
+        [np.concatenate([sys_ids, i]) for i in ids], gen_cfg=gen
+    )
+    del inline
+
+    srv_prefix = GenerationServer(engine, tok, prefix=prefix)
+    got = srv_prefix.handle_generate(payload)
+    assert got["tokens"] == [t.tolist() for t in want.tokens]
+
+    cont = GenerationServer(
+        engine, tok, prefix=prefix,
+        continuous=ContinuousEngine(engine, slots=2, cache_len=512,
+                                    max_new_cap=8, segment_steps=2),
+    )
+    got_c = cont.handle_generate(payload)
+    assert got_c["tokens"] == [t.tolist() for t in want.tokens]
+
+
 def test_continuous_mode_matches_plain_greedy():
     cfg, engine, tok = _setup()
     plain = GenerationServer(engine, tok)

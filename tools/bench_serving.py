@@ -45,7 +45,14 @@ def main():
                     help="fraction of requests carrying images")
     ap.add_argument("--tiles", type=int, default=4,
                     help="anyres tiles per image request")
+    ap.add_argument("--prefix", type=int, default=0,
+                    help="shared system-prompt tokens: continuous rides the "
+                         "KV-cached prefix (Engine.build_prefix); static "
+                         "re-prefills header+prompt per group, which is "
+                         "what a no-prefix-cache server pays")
     args = ap.parse_args()
+    assert not (args.prefix and args.image_frac), \
+        "prefix + image workload not combined in this bench"
 
     import jax
 
@@ -94,7 +101,7 @@ def main():
                                cfg.anyres.tile_size).astype(np.float32)
         reqs.append(Request(prompt=p, max_new_tokens=int(budgets[i]),
                             images=images))
-    cache_len = ((args.prompt + 256) + 511) // 512 * 512
+    cache_len = ((args.prefix + args.prompt + 256) + 511) // 512 * 512
     total_tokens = int(budgets.sum())
     # tile buckets: b=1 staging-pool prefills use `tiles`; static groups may
     # hold several image requests, so add the largest per-group tile count
@@ -107,10 +114,21 @@ def main():
         tile_buckets = tuple(sorted({args.tiles, group_tiles}))
     else:
         tile_buckets = (0,)
+    seq_buckets = ((args.prompt,) if not args.prefix
+                   else (args.prompt, args.prefix + args.prompt))
     engine = Engine(
-        cfg, params, seq_buckets=(args.prompt,), tile_buckets=tile_buckets,
+        cfg, params, seq_buckets=seq_buckets, tile_buckets=tile_buckets,
         quantize="int8" if args.int8 else None, quantize_kv=args.int8,
     )
+    prefix = None
+    pre_ids = None
+    if args.prefix:
+        pre_ids = rng.randint(1, 1000, args.prefix).astype(np.int32)
+        t0 = time.perf_counter()
+        prefix = engine.build_prefix(pre_ids)
+        np.asarray(prefix.cache.index)
+        print(f"prefix built once: {args.prefix} tokens, "
+              f"{time.perf_counter() - t0:.1f} s (incl. compile)")
     print(f"{args.requests} requests ({sum(r.images is not None for r in reqs)}"
           f" with {args.tiles} tiles), prompt bucket {args.prompt}, budgets "
           f"16..256 (sum {total_tokens}), slots {args.slots}, "
@@ -131,7 +149,11 @@ def main():
             )
             with_px = [r.images for r in group if r.images is not None]
             px = np.concatenate(with_px, axis=0) if with_px else None
-            res = engine.generate([r.prompt for r in group], images=px,
+            # static = no prefix cache: the shared header is re-prefilled
+            # inside every group's prompt (what the reference's loop pays)
+            ids = [r.prompt if pre_ids is None
+                   else np.concatenate([pre_ids, r.prompt]) for r in group]
+            res = engine.generate(ids, images=px,
                                   gen_cfg=g, max_cache=cache_len)
             # host-side per-row budget trim (static batching can't stop rows)
             done_tokens += sum(
@@ -150,7 +172,8 @@ def main():
         # longest-first admission: the offline/batch-serving makespan
         # heuristic (every request is present up front, so FCFS fairness
         # costs nothing to trade away)
-        out = cont.run(reqs, gen_cfg=gen, longest_first=longest_first)
+        out = cont.run(reqs, gen_cfg=gen, longest_first=longest_first,
+                       prefix=prefix)
         return (sum(len(c.tokens) for c in out),
                 [cont.ttft[i] for i in sorted(cont.ttft)])
 
