@@ -96,6 +96,34 @@ def test_prefix_bucket_larger_than_cache():
     np.testing.assert_array_equal(got.tokens[0], full.tokens[0])
 
 
+def test_prefix_idefics2_arch_matches_full_prompt():
+    # prefix caching is architecture-agnostic: the Idefics2 decoder path
+    # (Mistral-style, perceiver arch switch lives in vlm.forward) must give
+    # the same parity
+    import dataclasses
+
+    base = cfgs.tiny_vlm()
+    pcfg = cfgs.PerceiverConfig(
+        num_latents=4, num_layers=1, hidden_size=base.text.hidden_size,
+        num_heads=4, num_kv_heads=2, head_dim=16, intermediate_size=96,
+        dtype="float32",
+    )
+    cfg = dataclasses.replace(
+        base, perceiver=pcfg, architecture="leopard_idefics2",
+        pixel_shuffle_factor=1,
+        vision=dataclasses.replace(base.vision, image_size=56),
+    )
+    params = vlm.init_params(cfg, jax.random.PRNGKey(5))
+    eng = Engine(cfg, params, seq_buckets=(16, 32, 64), tile_buckets=(1,))
+    rng = np.random.RandomState(6)
+    pre = rng.randint(1, 100, 23).astype(np.int32)
+    sfx = _suffixes(rng, n=2)
+    full = eng.generate([np.concatenate([pre, s]) for s in sfx], gen_cfg=GEN)
+    got = eng.generate(sfx, gen_cfg=GEN, prefix=eng.build_prefix(pre))
+    for g, w in zip(got.tokens, full.tokens):
+        np.testing.assert_array_equal(g, w)
+
+
 def test_continuous_with_prefix_matches_serial_full_prompt():
     # ContinuousEngine.run(prefix=...) — every staged prefill (single-row
     # AND block) seeds the shared prefix; tokens must equal serial
