@@ -45,6 +45,11 @@ def main():
                         "(up to bf16 argmax ties — inference/speculative.py); "
                         "fastest on quote-heavy DocVQA-style answers")
     p.add_argument("--spec-ngram", type=int, default=2)
+    p.add_argument("--prefix-caching", action="store_true",
+                   help="prefill each batch's common prompt header (system "
+                        "preamble + instruction) once and KV-seed it into "
+                        "every row — token-identical, skips re-prefilling "
+                        "the shared header; ignored with --spec")
     args = p.parse_args()
 
     from leopard_tpu import config as cfgs
@@ -76,6 +81,7 @@ def main():
         quantize=args.quantize,
         quantize_kv=args.quantize is not None,
         spec=spec,
+        prefix_caching=args.prefix_caching,
     )
     if args.arch == "leopard_llava":
         cfg = cfgs.leopard_llava_8b()

@@ -70,6 +70,7 @@ class LeopardLlavaEvalAdapter:
         quantize: Optional[str] = None,
         quantize_kv: bool = False,
         spec=None,
+        prefix_caching: bool = False,
     ):
         """`device_preprocess` ships raw uint8 tiles and normalizes inside
         the encoder jit (4× less host→device transfer; frees the 1-core
@@ -81,13 +82,21 @@ class LeopardLlavaEvalAdapter:
         matmuls; `quantize_kv` stores the KV cache int8. `spec` (a
         SpecConfig) decodes with prompt-lookup speculation — token-identical
         to plain greedy, faster exactly on the quote-heavy DocVQA-style
-        answers this harness scores (inference/speculative.py)."""
+        answers this harness scores (inference/speculative.py).
+        `prefix_caching` prefills each batch's common prompt header (system
+        preamble + instruction) once and seeds it into every row
+        (_batch_prefix) — token-identical, skips re-prefilling the header;
+        ignored when `spec` is set or sampling uses a repetition penalty."""
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.layout = layout
         self.max_images = max_images
         self.device_preprocess = device_preprocess
         self.spec = spec
+        self.prefix_caching = prefix_caching
+        self.prefix_min_len = 32      # don't bother below this LCP
+        self.prefix_quantum = 32      # round LCP down for cross-batch reuse
+        self._prefixes: dict = {}
         self.gen_cfg = gen_cfg or GenerateConfig(
             max_new_tokens=128, greedy=True, eos_token_ids=(128001, 128009)
         )
@@ -175,9 +184,16 @@ class LeopardLlavaEvalAdapter:
         pixels = np.concatenate(with_px, axis=0) if with_px else None
         masks = [s.patch_mask for s in batch if s.patch_mask is not None]
         patch_mask = np.concatenate(masks, axis=0) if masks else None
+        prefix = None
+        if (self.prefix_caching and self.spec is None
+                and self.gen_cfg.repetition_penalty == 1.0):
+            prefix, prompts = _batch_prefix(
+                self.engine, self.cfg, prompts, self._prefixes,
+                min_len=self.prefix_min_len, quantum=self.prefix_quantum,
+            )
         result = self.engine.generate(
             prompts, images=pixels, patch_mask=patch_mask,
-            gen_cfg=self.gen_cfg, spec=self.spec,
+            gen_cfg=self.gen_cfg, spec=self.spec, prefix=prefix,
         )
         return [
             self.tokenizer.decode(t.tolist(), skip_special_tokens=True)
@@ -188,6 +204,39 @@ class LeopardLlavaEvalAdapter:
         return self.generate_prepared([self.prepare(row, instruction)])[0]
 
 
+def _batch_prefix(engine: Engine, cfg: VLMConfig, prompts, store: dict,
+                  min_len: int = 32, quantum: int = 32):
+    """Opportunistic prefix caching for a batch: eval prompts share their
+    system preamble + instruction header (conversation template), so the
+    longest common prefix of the batch — truncated at the first image token
+    (prefix KV can't cover per-row image features) and rounded down to a
+    `quantum` so near-identical batches reuse one prefix — is prefilled
+    once per distinct content (`store` keyed by token bytes) and seeded
+    into every row (inference/engine.py::Prefix). Returns
+    (prefix | None, suffix prompts)."""
+    if len(prompts) < 2:
+        return None, prompts
+    a0 = prompts[0]
+    m = min(len(p) for p in prompts) - 1    # every row keeps ≥1 suffix token
+    for p in prompts[1:]:
+        k = min(m, len(p))
+        neq = np.nonzero(p[:k] != a0[:k])[0]
+        if neq.size:
+            m = min(m, int(neq[0]))
+    img = np.nonzero(a0[:m] == cfg.image_token_id)[0]
+    if img.size:
+        m = min(m, int(img[0]))
+    m = (m // quantum) * quantum
+    if m < min_len:
+        return None, prompts
+    key = a0[:m].tobytes()
+    pre = store.get(key)
+    if pre is None:
+        pre = engine.build_prefix(a0[:m])
+        store[key] = pre
+    return pre, [p[m:] for p in prompts]
+
+
 class LeopardIdefics2EvalAdapter:
     """Idefics2 path: NaViT padded preprocessing + perceiver latents, ≤8
     images, fp16-class decode (≙ evaluations/models/idefics2_multiimg.py:22-70)."""
@@ -195,7 +244,7 @@ class LeopardIdefics2EvalAdapter:
     def __init__(self, cfg: VLMConfig, params, tokenizer,
                  gen_cfg: Optional[GenerateConfig] = None, max_images: int = 8,
                  quantize: Optional[str] = None, quantize_kv: bool = False,
-                 spec=None):
+                 spec=None, prefix_caching: bool = False):
         from leopard_tpu.data.idefics2_processor import preprocess_idefics2
 
         self.cfg = cfg
@@ -203,6 +252,10 @@ class LeopardIdefics2EvalAdapter:
         self.tokenizer = tokenizer
         self.max_images = max_images
         self.spec = spec
+        self.prefix_caching = prefix_caching
+        self.prefix_min_len = 32
+        self.prefix_quantum = 32
+        self._prefixes: dict = {}
         eos = tokenizer.convert_tokens_to_ids("<end_of_utterance>")
         self.gen_cfg = gen_cfg or GenerateConfig(
             max_new_tokens=128, greedy=True,
@@ -264,9 +317,16 @@ class LeopardIdefics2EvalAdapter:
             padded = [pad(p, m) for p, m in with_px]
             pixels = np.concatenate([p for p, _ in padded], axis=0)
             patch_mask = np.concatenate([m for _, m in padded], axis=0)
+        prefix = None
+        if (self.prefix_caching and self.spec is None
+                and self.gen_cfg.repetition_penalty == 1.0):
+            prefix, prompts = _batch_prefix(
+                self.engine, self.cfg, prompts, self._prefixes,
+                min_len=self.prefix_min_len, quantum=self.prefix_quantum,
+            )
         result = self.engine.generate(
             prompts, images=pixels, patch_mask=patch_mask,
-            gen_cfg=self.gen_cfg, spec=self.spec,
+            gen_cfg=self.gen_cfg, spec=self.spec, prefix=prefix,
         )
         return [
             self.tokenizer.decode(t.tolist(), skip_special_tokens=True)

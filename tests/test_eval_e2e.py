@@ -129,6 +129,33 @@ def test_batched_eval_matches_serial(tmp_path):
     assert [d["correct"] for d in batched] == [d["correct"] for d in serial]
 
 
+def test_batched_eval_prefix_caching_matches_plain(tmp_path):
+    """prefix_caching=True (each batch's common prompt header prefilled once
+    and KV-seeded into every row, adapter._batch_prefix) must score
+    identically to the plain batched driver — and must actually engage
+    (the eval template's shared image-block+question header is the LCP)."""
+    from leopard_tpu.evaluation.harness import run_benchmark_batched
+
+    cfg = _tiny_cfg()
+    params = vlm.init_params(cfg, jax.random.PRNGKey(0))
+    gen = GenerateConfig(max_new_tokens=4, greedy=True, eos_token_ids=(999999,))
+    plain = LeopardLlavaEvalAdapter(cfg, params, DecodingFakeTokenizer(),
+                                    gen_cfg=gen)
+    rows = _rows(str(tmp_path), n=4, imgs_per_row=1)
+    want = run_benchmark_batched(rows, plain, "docvqa", "direct",
+                                 batch_size=2)
+
+    cached = LeopardLlavaEvalAdapter(cfg, params, DecodingFakeTokenizer(),
+                                     gen_cfg=gen, prefix_caching=True)
+    cached.prefix_min_len = 2     # tiny prompts: engage on short LCPs
+    cached.prefix_quantum = 2
+    got = run_benchmark_batched(rows, cached, "docvqa", "direct",
+                                batch_size=2)
+    assert [d["raw"] for d in got] == [d["raw"] for d in want]
+    assert [d["correct"] for d in got] == [d["correct"] for d in want]
+    assert cached._prefixes, "prefix caching never engaged"
+
+
 def test_idefics2_batched_eval_repads_across_samples(tmp_path):
     """Batched Idefics2 eval with different per-sample image grids: the
     adapter re-pads to the cross-sample max, and responses match serial."""
