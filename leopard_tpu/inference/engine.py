@@ -178,6 +178,9 @@ class GenerationResult:
     tokens: List[np.ndarray]          # generated ids per row (trimmed at eos)
     prompt_lengths: List[int]
     logprobs: Optional[List[np.ndarray]] = None  # per-token logprob, same trim
+    # generate(return_prefix=True): the post-decode KV as a Prefix for the
+    # NEXT conversation turn (multi-turn serving without re-prefilling)
+    prefix: Optional[Prefix] = None
     # speculative decode only: verify forwards run; raw emitted tokens
     # (pre-trim) / spec_rounds = measured tokens-per-weight-read gain
     spec_rounds: Optional[int] = None
@@ -280,8 +283,16 @@ class Engine:
         max_cache: Optional[int] = None,
         spec=None,                                  # SpecConfig → speculative decode
         prefix: Optional[Prefix] = None,            # shared prefilled prefix
+        return_prefix: bool = False,                # b=1: hand back the
+        #                                 post-decode KV as the next turn's
+        #                                 prefix (multi-turn chat)
     ) -> GenerationResult:
         gen_cfg = gen_cfg or self.gen_cfg
+        if return_prefix:
+            assert len(prompts) == 1 and spec is None, (
+                "return_prefix is for single-row conversations without "
+                "speculative decoding"
+            )
         if spec is not None:
             assert gen_cfg.greedy and gen_cfg.repetition_penalty == 1.0, (
                 "speculative decoding is greedy-only (inference/speculative.py)"
@@ -397,7 +408,7 @@ class Engine:
                 cache, gen_cfg.max_new_tokens, spec.ngram, spec.draft,
             )
         else:
-            gen_buf, gen_mask, lp_buf, _ = _decode(
+            gen_buf, gen_mask, lp_buf, cache = _decode(
                 self.params, self.cfg, gen_cfg, first_logits,
                 jnp.asarray(tokens), jnp.asarray(seg), cache,
                 jax.random.PRNGKey(gen_cfg.seed), gen_cfg.max_new_tokens,
@@ -419,7 +430,23 @@ class Engine:
                 row, lps = row[:n], lps[:n]
             out.append(row)
             out_lp.append(lps)
+        new_prefix = None
+        if return_prefix:
+            # the post-decode cache holds prefix + prompt + every emitted
+            # token's KV (incl. the eos — seg=1 at its write, a valid
+            # turn-end position); the conversation continues from here
+            emitted = gen_buf[0][gen_mask[0]]
+            p_tokens = (prefix.tokens if prefix is not None
+                        else np.zeros((0,), np.int32))
+            new_prefix = Prefix(
+                cache=cache,
+                length=int(p_len + lengths[0] + emitted.size),
+                tokens=np.concatenate(
+                    [p_tokens, np.asarray(prompts[0], np.int32), emitted]
+                ),
+            )
         return GenerationResult(
             tokens=out, prompt_lengths=lengths, logprobs=out_lp,
+            prefix=new_prefix,
             spec_rounds=int(spec_rounds) if spec is not None else None,
         )

@@ -14,6 +14,9 @@ Idefics2) on the host and spliced on-device exactly like the eval path.
      "temperature": 1.0, "top_k": 0, "top_p": 0.0, "greedy": true}
   → {"text": [...], "logprobs": [[...]], "tokens": [[...]]}
 
+  POST /api/chat — multi-turn sessions with conversation KV reuse: each
+    turn prefills only the new message (see handle_chat)
+
   GET /health → {"status": "ok"}
 
 Serving modes (both single-threaded — one TPU program runs at a time, so
@@ -69,6 +72,12 @@ class GenerationServer:
         if prefix is not None and spec is not None:
             raise ValueError("prefix caching and speculative decoding are "
                              "mutually exclusive (n-gram history)")
+        # /api/chat conversation KV caches: session_id → Prefix holding the
+        # whole dialogue so far (each turn prefills only the new message).
+        # Insertion-ordered dict = LRU: refreshed on use, oldest evicted
+        # past max_sessions (each session pins one cache's HBM).
+        self._sessions: dict = {}
+        self.max_sessions = 8
 
     def _prepare_row(self, text: str, pil_images: list
                      ) -> Tuple[np.ndarray, Optional[np.ndarray],
@@ -161,6 +170,51 @@ class GenerationServer:
                          for l, b in zip(res.logprobs or [], budgets)],
         }
 
+    def handle_chat(self, payload: dict) -> dict:
+        """Multi-turn chat with conversation KV reuse: each turn prefills
+        ONLY the new user message against the session's cached dialogue KV
+        (Engine.generate(prefix=..., return_prefix=True)).
+
+          POST /api/chat
+            {"session_id": "abc", "prompt": "...", "images": [...],
+             "max_new_tokens": 64, "greedy": true}       # or {"reset": true}
+          → {"text": "...", "tokens": [...], "context_tokens": N}
+        """
+        sid = str(payload["session_id"])
+        if payload.get("reset"):
+            self._sessions.pop(sid, None)
+            return {"status": "reset"}
+        if float(payload.get("repetition_penalty", 1.0)) != 1.0:
+            raise ValueError("chat sessions do not support "
+                             "repetition_penalty (prefix-cached history)")
+        ids, pixels, patch_mask = self._prepare_row(
+            payload["prompt"], _decode_images(payload.get("images") or [])
+        )
+        gen = GenerateConfig(
+            max_new_tokens=int(payload.get("max_new_tokens", 128)),
+            temperature=float(payload.get("temperature", 1.0)),
+            top_k=int(payload.get("top_k", 0)),
+            top_p=float(payload.get("top_p", 0.0)),
+            greedy=bool(payload.get("greedy", True)),
+            eos_token_ids=tuple(payload.get("eos_token_ids",
+                                            (128001, 128009))),
+            seed=int(payload.get("seed", 0)),
+        )
+        pre = self._sessions.pop(sid, None) or self.prefix
+        res = self.engine.generate(
+            [ids], images=pixels, patch_mask=patch_mask, gen_cfg=gen,
+            prefix=pre, return_prefix=True,
+        )
+        self._sessions[sid] = res.prefix          # re-insert = LRU refresh
+        while len(self._sessions) > self.max_sessions:
+            self._sessions.pop(next(iter(self._sessions)))
+        return {
+            "text": self.tokenizer.decode(res.tokens[0].tolist(),
+                                          skip_special_tokens=True),
+            "tokens": res.tokens[0].tolist(),
+            "context_tokens": res.prefix.length,
+        }
+
     def _generate_continuous(self, rows, budgets, gen: GenerateConfig) -> dict:
         from leopard_tpu.inference.continuous import Request
 
@@ -207,13 +261,16 @@ class GenerationServer:
                     self._reply(404, {"error": "not found"})
 
             def do_POST(self):
-                if self.path != "/api/generate":
+                handlers = {"/api/generate": outer.handle_generate,
+                            "/api/chat": outer.handle_chat}
+                handler = handlers.get(self.path)
+                if handler is None:
                     self._reply(404, {"error": "not found"})
                     return
                 try:
                     length = int(self.headers.get("Content-Length", 0))
                     payload = json.loads(self.rfile.read(length))
-                    self._reply(200, outer.handle_generate(payload))
+                    self._reply(200, handler(payload))
                 except Exception as e:  # noqa: BLE001 — report to client
                     self._reply(500, {"error": str(e)})
 

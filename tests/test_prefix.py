@@ -154,6 +154,36 @@ def test_continuous_with_prefix_matches_serial_full_prompt():
         np.testing.assert_array_equal(g.tokens, w, err_msg=f"request {i}")
 
 
+def test_multiturn_conversation_matches_concatenated():
+    # generate(return_prefix=True) hands back the post-decode KV as the next
+    # turn's prefix; a 3-turn chat must be token-identical to re-prefilling
+    # the whole concatenated conversation each turn
+    cfg, params = _tiny()
+    eng = Engine(cfg, params, seq_buckets=(16, 32, 64, 128), tile_buckets=(1,))
+    rng = np.random.RandomState(7)
+    gen = GenerateConfig(max_new_tokens=5, greedy=True, eos_token_ids=(0,))
+
+    t1 = rng.randint(1, 100, 9).astype(np.int32)
+    r1 = eng.generate([t1], gen_cfg=gen, return_prefix=True)
+    np.testing.assert_array_equal(
+        r1.prefix.tokens[: len(t1)], t1
+    )
+    assert r1.prefix.length == len(r1.prefix.tokens)
+
+    t2 = rng.randint(1, 100, 7).astype(np.int32)
+    r2 = eng.generate([t2], gen_cfg=gen, prefix=r1.prefix,
+                      return_prefix=True)
+    want2 = eng.generate([np.concatenate([r1.prefix.tokens, t2])],
+                         gen_cfg=gen)
+    np.testing.assert_array_equal(r2.tokens[0], want2.tokens[0])
+
+    t3 = rng.randint(1, 100, 11).astype(np.int32)
+    r3 = eng.generate([t3], gen_cfg=gen, prefix=r2.prefix)
+    want3 = eng.generate([np.concatenate([r2.prefix.tokens, t3])],
+                         gen_cfg=gen)
+    np.testing.assert_array_equal(r3.tokens[0], want3.tokens[0])
+
+
 def test_prefix_rejects_spec_and_penalty():
     import pytest
 

@@ -148,6 +148,51 @@ def test_server_prefix_matches_inline_system_prompt():
     assert got_c["tokens"] == [t.tolist() for t in want.tokens]
 
 
+def test_chat_session_matches_concatenated_conversation():
+    # /api/chat reuses the session's dialogue KV: a 3-turn chat must equal
+    # generating from the full concatenated history each turn
+    cfg, engine, tok = _setup()
+    server = GenerationServer(engine, tok)
+    chat = {"session_id": "s1", "max_new_tokens": 4, **BASE}
+    gen = GenerateConfig(max_new_tokens=4, greedy=True,
+                         eos_token_ids=(999999,))
+
+    r1 = server.handle_chat({**chat, "prompt": "hello there"})
+    history = server._sessions["s1"].tokens
+    r2 = server.handle_chat({**chat, "prompt": "and then what"})
+    ids2 = np.asarray(tok("and then what",
+                          add_special_tokens=True)["input_ids"], np.int32)
+    want2 = engine.generate([np.concatenate([history, ids2])], gen_cfg=gen)
+    assert r2["tokens"] == want2.tokens[0].tolist()
+    assert r2["context_tokens"] == len(server._sessions["s1"].tokens)
+
+    history2 = server._sessions["s1"].tokens
+    r3 = server.handle_chat({**chat, "prompt": "ok"})
+    ids3 = np.asarray(tok("ok", add_special_tokens=True)["input_ids"],
+                      np.int32)
+    want3 = engine.generate([np.concatenate([history2, ids3])], gen_cfg=gen)
+    assert r3["tokens"] == want3.tokens[0].tolist()
+
+    # reset clears the session; a fresh turn matches a fresh conversation
+    assert server.handle_chat({"session_id": "s1",
+                               "reset": True}) == {"status": "reset"}
+    assert "s1" not in server._sessions
+    r1b = server.handle_chat({**chat, "prompt": "hello there"})
+    assert r1b["tokens"] == r1["tokens"]
+
+
+def test_chat_sessions_evict_lru():
+    cfg, engine, tok = _setup()
+    server = GenerationServer(engine, tok)
+    server.max_sessions = 2
+    base = {"max_new_tokens": 2, "prompt": "hi", **BASE}
+    server.handle_chat({**base, "session_id": "a"})
+    server.handle_chat({**base, "session_id": "b"})
+    server.handle_chat({**base, "session_id": "a"})  # refresh a
+    server.handle_chat({**base, "session_id": "c"})  # evicts b (LRU)
+    assert set(server._sessions) == {"a", "c"}
+
+
 def test_continuous_mode_matches_plain_greedy():
     cfg, engine, tok = _setup()
     plain = GenerationServer(engine, tok)
