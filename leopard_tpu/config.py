@@ -269,6 +269,9 @@ class TrainConfig:
     # is pure GEMM time), so a MIXED policy — e.g. remat="selective",
     # remat_vision="full" — buys decoder speed without the tower's memory.
     remat_vision: Optional[str] = None
+    # chunked cross-entropy scan granularity (trainer.chunked_cross_entropy):
+    # peak logits memory is B·loss_chunk·V; larger chunks = fewer scan steps
+    loss_chunk: int = 1024
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     freeze_vision_tower: bool = False

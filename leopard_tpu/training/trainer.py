@@ -260,6 +260,7 @@ def make_train_step(cfg: VLMConfig, train_cfg: TrainConfig, frozen=(),
     def train_step(state: TrainState, batch: dict):
         def loss_fn(params, mb):
             return vlm_loss(params, cfg, mb, compute_dtype, remat,
+                            loss_chunk=train_cfg.loss_chunk,
                             cp_mesh=cp_mesh, cp_axis=cp_axis,
                             remat_vision=remat_vision)
 

@@ -24,7 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 V5E_BF16_FLOPS = 197e12
 
 
-def main(seq=4096, n_tiles=8, steps=8, remat="full", remat_vision=None):
+def main(seq=4096, n_tiles=8, steps=8, remat="full", remat_vision=None,
+         loss_chunk=1024):
     import dataclasses
 
     import jax
@@ -47,7 +48,7 @@ def main(seq=4096, n_tiles=8, steps=8, remat="full", remat_vision=None):
     )
     train_cfg = TrainConfig(
         seq_len=seq, global_batch_size=1, remat=remat,
-        remat_vision=remat_vision,
+        remat_vision=remat_vision, loss_chunk=loss_chunk,
         optimizer=OptimizerConfig(lr=1e-5, warmup_steps=10, decay_steps=1000),
     )
     params = vlm.init_params(cfg, jax.random.PRNGKey(0))
@@ -114,5 +115,7 @@ if __name__ == "__main__":
                    choices=("none", "selective", "attn", "full"),
                    help="vision-tower recompute override (mixed policy); "
                         "default follows --remat")
+    p.add_argument("--loss-chunk", type=int, default=1024,
+                   help="chunked-CE scan granularity")
     a = p.parse_args()
-    main(a.seq, a.tiles, a.steps, a.remat, a.remat_vision)
+    main(a.seq, a.tiles, a.steps, a.remat, a.remat_vision, a.loss_chunk)
