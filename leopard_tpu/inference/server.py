@@ -179,7 +179,12 @@ class GenerationServer:
             {"session_id": "abc", "prompt": "...", "images": [...],
              "max_new_tokens": 64, "greedy": true}       # or {"reset": true}
           → {"text": "...", "tokens": [...], "context_tokens": N}
-        """
+
+        Chat always runs on the plain engine path: the continuous slot pool
+        (if configured) is for /api/generate batches, and speculative
+        decoding is never applied here (its n-gram drafting needs the full
+        token history, which lives in the session KV, not a buffer). A
+        server-level --system-prompt prefix seeds NEW sessions."""
         sid = str(payload["session_id"])
         if payload.get("reset"):
             self._sessions.pop(sid, None)

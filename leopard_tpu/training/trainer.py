@@ -141,11 +141,24 @@ def chunked_cross_entropy(
     Peak memory O(B·chunk·V); each chunk body is rematerialized so the
     backward recomputes its logits instead of saving them (the role the
     reference's vocab-parallel fused CE plays,
-    megatron/core/tensor_parallel/cross_entropy.py:14)."""
+    megatron/core/tensor_parallel/cross_entropy.py:14).
+
+    S is PADDED up to a chunk multiple with zero-weight positions rather
+    than shrinking the chunk to a divisor of S. The old divisor search was
+    a trap: the caller passes seq_len-1 (next-token shift), and e.g.
+    8192-1 = 8191 is PRIME — the chunk silently degenerated to 1 and the
+    scan became 8191 vector-vocab matmuls that XLA lowers as kLoop fusions
+    (measured 9.7 s/step vs 0.6 s at the 0.836B/seq-8192 profile, r5);
+    16384-1 = 16383 quietly gave chunk 381. Zero weights keep the padded
+    rows out of the loss exactly (the wx > 0 guard)."""
     b, s, h = hidden.shape
     chunk = min(chunk, s)
-    while s % chunk:
-        chunk -= 1
+    pad = (-s) % chunk
+    if pad:
+        hidden = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0)))
+        targets = jnp.pad(targets, ((0, 0), (0, pad)))
+        weights = jnp.pad(weights, ((0, 0), (0, pad)))
+        s += pad
     n = s // chunk
     hc = hidden.reshape(b, n, chunk, h).transpose(1, 0, 2, 3)
     tc = targets.reshape(b, n, chunk).transpose(1, 0, 2)

@@ -330,6 +330,35 @@ def test_chunked_ce_matches_dense():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
 
+def test_chunked_ce_prime_length_keeps_chunk():
+    """r5 regression: S is padded to a chunk multiple instead of shrinking
+    the chunk to a divisor of S. The old divisor search degenerated to
+    chunk=1 when S was prime — and S is ALWAYS seq_len-1 (next-token
+    shift), so seq 8192 → S=8191 (prime) ran an 8191-iteration scan of
+    vector-vocab matmuls: 9.7 s/step vs 0.6 at the 0.836B profile."""
+    from leopard_tpu.training.trainer import chunked_cross_entropy
+
+    rng = np.random.RandomState(12)
+    b, s, h, v = 2, 127, 16, 40            # s PRIME
+    hidden = jnp.asarray(rng.randn(b, s, h), jnp.float32)
+    unembed = jnp.asarray(rng.randn(h, v), jnp.float32)
+    targets = jnp.asarray(rng.randint(0, v, (b, s)), jnp.int32)
+    weights = jnp.asarray((rng.rand(b, s) > 0.3).astype(np.float32))
+
+    want, want_w = token_cross_entropy(hidden @ unembed, targets, weights)
+    got, got_w = chunked_cross_entropy(hidden, unembed, targets, weights,
+                                       chunk=32)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+    assert float(got_w) == float(want_w)
+
+    # the scan must run ceil(127/32)=4 chunks, not 127 single columns
+    jaxpr = jax.make_jaxpr(
+        lambda h, u: chunked_cross_entropy(h, u, targets, weights, chunk=32)
+    )(hidden, unembed)
+    scans = [e for e in jaxpr.eqns if e.primitive.name == "scan"]
+    assert scans and scans[0].params["length"] == 4, scans
+
+
 def test_train_step_mixed_remat_matches_no_remat():
     """MIXED policy (remat='selective' on the decoder, remat_vision='full' on
     the tower — the 16k memory/speed point, VERDICT r2 next #5) is a pure
